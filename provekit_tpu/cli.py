@@ -1,0 +1,164 @@
+"""provekit-tpu CLI: prepare | prove | verify | circuit-stats |
+generate-gnark-inputs.
+
+Mirrors the reference binary's subcommands
+(``tooling/cli/src/cmd/mod.rs:22-28``).  Circuits are accepted as Noir build
+artifacts (JSON with base64 bytecode; parsed by ``acir.parse``) or as
+provekit-tpu circuit JSON; witnesses as a JSON map of ACIR witness index to
+value (the output of ``nargo execute`` converted, or produced by any frontend)
+— the in-tree Brillig VM is not yet implemented, matching SURVEY's phased
+plan.
+
+Run as ``python -m provekit_tpu.cli <command> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _load_circuit_program(path: str):
+    from .acir import model as acir
+    from .io.files import _dec
+    doc = json.loads(Path(path).read_text())
+    if "bytecode" in doc:
+        from .acir.parse import parse_artifact
+        return parse_artifact(doc)
+    if "program" in doc:
+        return _dec(doc["program"])
+    raise SystemExit(f"{path}: not a recognized circuit artifact")
+
+
+def _load_witness(path: str) -> dict[int, int]:
+    doc = json.loads(Path(path).read_text())
+    if isinstance(doc, list):
+        return {i: int(v, 0) if isinstance(v, str) else int(v)
+                for i, v in enumerate(doc)}
+    return {int(k): int(v, 0) if isinstance(v, str) else int(v)
+            for k, v in doc.items()}
+
+
+def cmd_prepare(args):
+    from .compiler import NoirProofScheme
+    from .io import files
+    from .utils.profiling import GLOBAL, span
+    program = _load_circuit_program(args.circuit)
+    with span("prepare"):
+        with span("noir_to_r1cs"):
+            scheme = NoirProofScheme.from_program(
+                program, security_level=args.security,
+                max_pow_bits=args.max_pow_bits)
+        with span("write_nps"):
+            files.write(args.output, scheme)
+    print(GLOBAL.report())
+    r = scheme.r1cs
+    print(f"R1CS: {r.num_constraints} constraints, {r.num_witnesses} "
+          f"witnesses, nnz a/b/c = {r.a.nnz}/{r.b.nnz}/{r.c.nnz}")
+    print(f"wrote {args.output}")
+
+
+def cmd_prove(args):
+    from .io import files
+    from .utils.profiling import GLOBAL, span
+    with span("prove"):
+        with span("read_nps"):
+            scheme = files.read(args.scheme)
+        with span("read_witness"):
+            acir_values = _load_witness(args.witness)
+        with span("prove_r1cs"):
+            proof = scheme.prove(acir_values)
+        with span("write_np"):
+            files.write(args.output, proof)
+    print(GLOBAL.report())
+    print(f"wrote {args.output} ({len(proof.transcript)} transcript bytes)")
+    if args.verify:
+        scheme.verify(proof)
+        print("self-verify: OK")
+
+
+def cmd_verify(args):
+    from .io import files
+    from .utils.profiling import GLOBAL, span
+    with span("verify"):
+        scheme = files.read(args.scheme)
+        proof = files.read(args.proof)
+        scheme.verify(proof)
+    print(GLOBAL.report())
+    print("verification: OK")
+
+
+def cmd_circuit_stats(args):
+    from .acir import model as acir
+    program = _load_circuit_program(args.circuit)
+    circuit = program.functions[0]
+    from collections import Counter
+    kinds = Counter(type(op).__name__ for op in circuit.opcodes)
+    print(f"opcodes: {sum(kinds.values())}")
+    for k, v in sorted(kinds.items()):
+        print(f"  {k:<24} {v}")
+    print(f"public inputs: {len(circuit.public_inputs())}")
+    from .compiler import NoirProofScheme
+    scheme = NoirProofScheme.from_program(program)
+    r = scheme.r1cs
+    print(f"projected R1CS: {r.num_constraints} constraints, "
+          f"{r.num_witnesses} witnesses, nnz={r.a.nnz + r.b.nnz + r.c.nnz}")
+
+
+def cmd_generate_gnark_inputs(args):
+    from .io import files
+    from .io.gnark import write_gnark_inputs
+    scheme = files.read(args.scheme)
+    proof = files.read(args.proof)
+    io_pattern = scheme.whir_for_witness.create_io_pattern().as_bytes()
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    write_gnark_inputs(
+        scheme.whir_for_witness, scheme.r1cs, proof.transcript, io_pattern,
+        out / "params_for_recursive_verifier", out / "r1cs.json")
+    print(f"wrote {out}/params_for_recursive_verifier and {out}/r1cs.json")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="provekit-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("prepare", help="compile a circuit to a .nps scheme")
+    sp.add_argument("circuit")
+    sp.add_argument("-o", "--output", default="scheme.nps")
+    sp.add_argument("--security", type=int, default=128)
+    sp.add_argument("--max-pow-bits", type=int, default=17)
+    sp.set_defaults(fn=cmd_prepare)
+
+    sp = sub.add_parser("prove", help="prove a .nps scheme with a witness")
+    sp.add_argument("scheme")
+    sp.add_argument("witness")
+    sp.add_argument("-o", "--output", default="proof.np")
+    sp.add_argument("--verify", action="store_true",
+                    help="verify the proof after proving")
+    sp.set_defaults(fn=cmd_prove)
+
+    sp = sub.add_parser("verify", help="verify a .np proof")
+    sp.add_argument("scheme")
+    sp.add_argument("proof")
+    sp.set_defaults(fn=cmd_verify)
+
+    sp = sub.add_parser("circuit-stats", help="analyze a circuit artifact")
+    sp.add_argument("circuit")
+    sp.set_defaults(fn=cmd_circuit_stats)
+
+    sp = sub.add_parser("generate-gnark-inputs",
+                        help="export recursive-verifier inputs")
+    sp.add_argument("scheme")
+    sp.add_argument("proof")
+    sp.add_argument("-o", "--output-dir", default="gnark-inputs")
+    sp.set_defaults(fn=cmd_generate_gnark_inputs)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""ACIR -> R1CS compiler: opcode lowering and gadget emission.
+
+Behavioral port of ``provekit/r1cs-compiler/src/noir_to_r1cs.rs:28-409``:
+single pass over opcodes (AssertZero, BrilligCall, MemoryInit/Op, black-box
+RANGE/AND/XOR), then post-passes emitting ROM (indexed LogUp), RAM (Spice
+offline memory checking), binop lookup tables, and range checks.  Produces
+the R1CS matrices, the ACIR->R1CS witness map, and the ordered
+WitnessBuilder program (solve order interleaves Fiat-Shamir challenges).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..acir import model as acir
+from ..fields import bn254 as F
+from ..r1cs import R1CS
+from ..r1cs import witness_builder as wb
+
+ONE = 1
+
+
+@dataclass
+class MemoryBlock:
+    initial_value_witnesses: list = field(default_factory=list)
+    operations: list = field(default_factory=list)  # [("load"|"store", addr, value)]
+
+    def is_read_only(self) -> bool:
+        return all(op[0] == "load" for op in self.operations)
+
+
+class NoirToR1CSCompiler:
+    def __init__(self):
+        self.r1cs = R1CS()
+        self.witness_builders: list = [wb.Constant(0, 1)]
+        self.acir_to_r1cs: dict[int, int] = {}
+        self.initial_memories: dict[int, list[int]] = {}
+
+    # -- infrastructure ----------------------------------------------------
+
+    @property
+    def witness_one(self) -> int:
+        return 0
+
+    @property
+    def num_witnesses(self) -> int:
+        return self.r1cs.num_witnesses
+
+    def add_witness_builder(self, builder) -> int:
+        start = self.num_witnesses
+        self.r1cs.new_witnesses(wb.num_witnesses(builder))
+        if isinstance(builder, wb.Acir):
+            self.acir_to_r1cs[builder.acir_witness_idx] = builder.witness_idx
+        self.witness_builders.append(builder)
+        return start
+
+    def fetch_r1cs_witness(self, acir_witness: acir.Witness) -> int:
+        idx = self.acir_to_r1cs.get(acir_witness.index)
+        if idx is None:
+            idx = self.add_witness_builder(
+                wb.Acir(self.num_witnesses, acir_witness.index))
+        return idx
+
+    def fetch_operand(self, fi: acir.FunctionInput) -> wb.Operand:
+        if fi.is_constant():
+            return ("const", fi.value % F.P)
+        return ("witness", self.fetch_r1cs_witness(fi.value))
+
+    def add_product(self, a: int, b: int) -> int:
+        prod = self.add_witness_builder(wb.Product(self.num_witnesses, a, b))
+        self.r1cs.add_constraint([(1, a)], [(1, b)], [(1, prod)])
+        return prod
+
+    def add_sum(self, terms: list) -> int:
+        """terms: [(coeff | None, witness_idx)]."""
+        s = self.add_witness_builder(wb.Sum(self.num_witnesses, terms))
+        az = [(1 if c is None else c, i) for c, i in terms]
+        self.r1cs.add_constraint(az, [(1, self.witness_one)], [(1, s)])
+        return s
+
+    # -- AssertZero --------------------------------------------------------
+
+    def add_acir_assert_zero(self, expr: acir.Expression) -> None:
+        linear, a, b = [], [], []
+        if expr.mul_terms:
+            for coeff, wa, wb_ in expr.mul_terms[:-1]:
+                ia = self.fetch_r1cs_witness(wa)
+                ib = self.fetch_r1cs_witness(wb_)
+                linear.append((F.neg(coeff), self.add_product(ia, ib)))
+            coeff, wa, wb_ = expr.mul_terms[-1]
+            a = [(coeff % F.P, self.fetch_r1cs_witness(wa))]
+            b = [(1, self.fetch_r1cs_witness(wb_))]
+        for coeff, w in expr.linear_combinations:
+            linear.append((F.neg(coeff), self.fetch_r1cs_witness(w)))
+        linear.append((F.neg(expr.q_c), self.witness_one))
+        self.r1cs.add_constraint(a, b, linear)
+
+    # -- opcode pass -------------------------------------------------------
+
+    def add_circuit(self, circuit: acir.Circuit) -> None:
+        memory_blocks: dict[int, MemoryBlock] = {}
+        range_checks: dict[int, list[int]] = {}
+        and_ops, xor_ops = [], []
+
+        for opcode in circuit.opcodes:
+            if isinstance(opcode, acir.AssertZero):
+                self.add_acir_assert_zero(opcode.expr)
+            elif isinstance(opcode, acir.BrilligCall):
+                pass  # witness generation only, no constraints
+            elif isinstance(opcode, acir.MemoryInit):
+                if opcode.block_type != "Memory":
+                    raise ValueError("MemoryInit block type must be Memory")
+                if opcode.block_id in memory_blocks:
+                    raise ValueError(f"memory block {opcode.block_id} reinit")
+                self.initial_memories[opcode.block_id] = [
+                    w.index for w in opcode.init]
+                block = MemoryBlock()
+                for w in opcode.init:
+                    block.initial_value_witnesses.append(
+                        self.fetch_r1cs_witness(w))
+                memory_blocks[opcode.block_id] = block
+            elif isinstance(opcode, acir.MemoryOp):
+                assert opcode.predicate is None, "MemoryOp predicate unsupported"
+                block = memory_blocks[opcode.block_id]
+                addr_w = opcode.op.index.to_witness()
+                if addr_w is None:
+                    raise NotImplementedError(
+                        "MemoryOp index must be a single witness")
+                addr = self.fetch_r1cs_witness(addr_w)
+                value = self.fetch_r1cs_witness(opcode.op.value.to_witness())
+                kind = "load" if opcode.op.operation == 0 else "store"
+                block.operations.append((kind, addr, value))
+            elif isinstance(opcode, acir.BlackBoxRange):
+                fi = opcode.input
+                if fi.is_constant():
+                    raise ValueError("range check of a constant")
+                widx = self.fetch_r1cs_witness(fi.value)
+                range_checks.setdefault(fi.num_bits, []).append(widx)
+            elif isinstance(opcode, acir.BlackBoxAnd):
+                and_ops.append((self.fetch_operand(opcode.lhs),
+                                self.fetch_operand(opcode.rhs),
+                                self.fetch_r1cs_witness(opcode.output)))
+            elif isinstance(opcode, acir.BlackBoxXor):
+                xor_ops.append((self.fetch_operand(opcode.lhs),
+                                self.fetch_operand(opcode.rhs),
+                                self.fetch_r1cs_witness(opcode.output)))
+            elif isinstance(opcode, acir.BlackBoxUnsupported):
+                raise NotImplementedError(
+                    f"black box function {opcode.name} not supported")
+            else:
+                raise NotImplementedError(f"unsupported opcode {opcode}")
+
+        from . import binops, memory, range_check
+        for block in memory_blocks.values():
+            if block.is_read_only():
+                memory.add_rom_checking(self, block)
+            else:
+                num_bits, to_check = memory.add_ram_checking(self, block)
+                range_checks.setdefault(num_bits, []).extend(to_check)
+
+        binops.add_binop(self, "and", and_ops)
+        binops.add_binop(self, "xor", xor_ops)
+        range_check.add_range_checks(self, range_checks)
+
+
+def noir_to_r1cs(circuit: acir.Circuit):
+    """Returns (r1cs, acir->r1cs witness map, witness builders)."""
+    c = NoirToR1CSCompiler()
+    c.add_circuit(circuit)
+    return c.r1cs, c.acir_to_r1cs, c.witness_builders

@@ -1,3 +1,3 @@
-from . import bn254, vector
+from . import bn254, m31, vector
 
-__all__ = ["bn254", "vector"]
+__all__ = ["bn254", "m31", "vector"]

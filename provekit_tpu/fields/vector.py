@@ -30,7 +30,7 @@ from . import bn254
 from .bn254 import LIMB_BITS, LIMB_MASK, NLIMBS, P
 
 U32 = jnp.uint32
-_MASK = jnp.uint32(LIMB_MASK)
+_MASK = LIMB_MASK  # python literal: stays a jaxpr literal inside Pallas kernels
 
 
 def _const_limbs(x: int) -> np.ndarray:
@@ -43,7 +43,7 @@ R2_LIMBS = _const_limbs(bn254.R2)
 R3_LIMBS = _const_limbs(bn254.R3)
 ONE_LIMBS = _const_limbs(1)
 R_LIMBS = _const_limbs(bn254.R)  # == to_mont(1)
-NPRIME16 = jnp.uint32(bn254.NPRIME16)
+NPRIME16 = bn254.NPRIME16  # python literal
 # -P^-1 mod 2^256 (full-width Montgomery factor for the SOS reduction).
 NPRIME256 = (-pow(P, -1, 1 << 256)) % (1 << 256)
 NPRIME256_LIMBS = _const_limbs(NPRIME256)
@@ -58,10 +58,9 @@ PK_LIMBS = np.stack([_const_limbs(k * P) for k in range(4)])  # (4, 16); 3P < 2^
 def pack(values, batch_shape=None) -> jax.Array:
     """List/iterable of ints (canonical, < P) -> (16, n) uint32 device array."""
     vals = list(values)
-    arr = np.zeros((NLIMBS, len(vals)), dtype=np.uint32)
-    for i, v in enumerate(vals):
-        arr[:, i] = bn254.to_limbs(v % P)
-    out = jnp.asarray(arr)
+    blob = b"".join((v % P).to_bytes(32, "little") for v in vals)
+    arr = np.frombuffer(blob, dtype="<u2").reshape(len(vals), NLIMBS)
+    out = jnp.asarray(arr.T.astype(np.uint32))
     if batch_shape is not None:
         out = out.reshape((NLIMBS, *batch_shape))
     return out
@@ -75,7 +74,9 @@ def pack_scalar(v: int) -> jax.Array:
 def unpack(arr) -> list[int]:
     """(16, n) limb array -> list of Python ints."""
     a = np.asarray(jax.device_get(arr)).reshape(NLIMBS, -1)
-    return [bn254.from_limbs(a[:, i]) for i in range(a.shape[1])]
+    blob = a.T.astype("<u2").tobytes()
+    return [int.from_bytes(blob[32 * i:32 * (i + 1)], "little")
+            for i in range(a.shape[1])]
 
 
 def unpack_scalar(arr) -> int:
@@ -101,9 +102,9 @@ def _from_limb_list(limbs: list[jax.Array]) -> jax.Array:
     return jnp.stack(limbs, axis=0)
 
 
-def _bcast_const(c: np.ndarray, like: list[jax.Array]) -> list[jax.Array]:
-    """Constant (16,) numpy limbs -> list of scalars broadcastable vs `like`."""
-    return [jnp.uint32(int(c[i])) for i in range(NLIMBS)]
+def _bcast_const(c: np.ndarray, like: list[jax.Array]) -> list[int]:
+    """Constant (16,) limbs -> python-int literals (Pallas-safe, weak-typed)."""
+    return [int(c[i]) for i in range(NLIMBS)]
 
 
 # ---------------------------------------------------------------------------
@@ -113,7 +114,7 @@ def _bcast_const(c: np.ndarray, like: list[jax.Array]) -> list[jax.Array]:
 def _add_cc(a: list, b: list) -> tuple[list, jax.Array]:
     """Limbwise a+b with carry chain. Returns (limbs, carry_out in {0,1})."""
     out = []
-    carry = jnp.uint32(0)
+    carry = 0
     for i in range(NLIMBS):
         s = a[i] + b[i] + carry
         out.append(s & _MASK)
@@ -124,7 +125,7 @@ def _add_cc(a: list, b: list) -> tuple[list, jax.Array]:
 def _sub_bb(a: list, b: list) -> tuple[list, jax.Array]:
     """Limbwise a-b with borrow chain. Returns (limbs, borrow_out in {0,1})."""
     out = []
-    borrow = jnp.uint32(0)
+    borrow = 0
     for i in range(NLIMBS):
         d = a[i] - b[i] - borrow
         out.append(d & _MASK)
@@ -147,7 +148,7 @@ def _cond_sub_p(limbs: list, extra: jax.Array) -> list:
     """
     p = _bcast_const(P_LIMBS, limbs)
     sub, borrow = _sub_bb(limbs, p)
-    need = (extra | (jnp.uint32(1) - borrow)).astype(jnp.bool_)
+    need = (extra | (1 - borrow)).astype(jnp.bool_)
     return _select(need, sub, limbs)
 
 
@@ -213,18 +214,35 @@ def _conv_cols(a: jax.Array, b: jax.Array, ncols: int) -> jax.Array:
     Sequential accumulation keeps peak memory at O(ncols * batch).
     """
     batch = a.shape[1:]
-    cols = jnp.zeros((ncols + 1, *batch), dtype=U32)  # +1 slack for hi spill
+    cols = jnp.zeros((ncols, *batch), dtype=U32)
+
+    def zrows(k):
+        return jnp.zeros((k, *batch), dtype=U32)
+
+    def shifted(rows, off):
+        # place `rows` at row offset `off` within ncols rows (concat, no scatter
+        # — Mosaic has no scatter-add)
+        take = min(rows.shape[0], ncols - off)
+        if take <= 0:
+            return None
+        parts = []
+        if off:
+            parts.append(zrows(off))
+        parts.append(rows[:take])
+        rest = ncols - off - take
+        if rest:
+            parts.append(zrows(rest))
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
     for i in range(NLIMBS):
         prod = a[i] * b  # (16, *batch) exact in uint32
-        lo = prod & _MASK
-        hi = prod >> LIMB_BITS
-        lo_end = min(i + NLIMBS, ncols)
-        if lo_end > i:
-            cols = cols.at[i:lo_end].add(lo[:lo_end - i])
-        hi_end = min(i + 1 + NLIMBS, ncols)
-        if hi_end > i + 1:
-            cols = cols.at[i + 1:hi_end].add(hi[:hi_end - i - 1])
-    return cols[:ncols]
+        lo = shifted(prod & _MASK, i)
+        hi = shifted(prod >> LIMB_BITS, i + 1)
+        if lo is not None:
+            cols = cols + lo
+        if hi is not None:
+            cols = cols + hi
+    return cols
 
 
 def _carry_norm(cols: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -236,12 +254,15 @@ def _carry_norm(cols: jax.Array) -> tuple[jax.Array, jax.Array]:
     finishes — short dependency chains, XLA-friendly.
     """
     n = cols.shape[0]
+    batch = cols.shape[1:]
     cols = jnp.concatenate(
-        [cols, jnp.zeros((1, *cols.shape[1:]), dtype=U32)], axis=0)
+        [cols, jnp.zeros((1, *batch), dtype=U32)], axis=0)
     for _ in range(2):
         lo = cols & _MASK
         hi = cols >> LIMB_BITS
-        cols = lo.at[1:].add(hi[:-1])  # hi of the top row is 0 by bounds
+        # hi of the top row is 0 by bounds; shift-add via concat (no scatter)
+        cols = lo + jnp.concatenate(
+            [jnp.zeros((1, *batch), dtype=U32), hi[:-1]], axis=0)
     digits = []
     carry = jnp.zeros_like(cols[0])
     for i in range(n + 1):
@@ -251,8 +272,8 @@ def _carry_norm(cols: jax.Array) -> tuple[jax.Array, jax.Array]:
     return jnp.stack(digits[:n]), digits[n]
 
 
-@jax.jit
-def mont_mul(a: jax.Array, b: jax.Array) -> jax.Array:
+def mont_mul_core(a: jax.Array, b: jax.Array, p_arr: jax.Array,
+                  np_arr: jax.Array) -> jax.Array:
     """Montgomery product a*b*R^-1 mod P (R = 2^256), SOS formulation.
 
     TPU-native replacement for the reference's Montgomery kernels
@@ -262,6 +283,9 @@ def mont_mul(a: jax.Array, b: jax.Array) -> jax.Array:
     sequential carry chains — far fewer, shallower XLA ops.
 
       T = a*b;  m = (T mod R) * (-P^-1) mod R;  res = (T + m*P) / R  (< 2P)
+
+    ``p_arr``/``np_arr`` are the (16,) constant vectors P and -P^-1 mod 2^256,
+    passed explicitly so Pallas kernels can supply them as inputs.
     """
     batch = a.shape[1:]
     # T = a*b: 32 digit columns
@@ -270,21 +294,25 @@ def mont_mul(a: jax.Array, b: jax.Array) -> jax.Array:
 
     # m = T_lo * NPRIME256 mod 2^256
     np_limbs = jnp.broadcast_to(
-        jnp.asarray(NPRIME256_LIMBS).reshape((NLIMBS,) + (1,) * len(batch)),
-        (NLIMBS, *batch))
+        np_arr.reshape((NLIMBS,) + (1,) * len(batch)), (NLIMBS, *batch))
     m_cols = _conv_cols(t[:NLIMBS], np_limbs, NLIMBS)
     m, _ = _carry_norm(m_cols)  # mod 2^256: drop carry
 
     # S = T + m*P; result = S >> 256 (low 256 bits are zero by construction)
     p_limbs = jnp.broadcast_to(
-        jnp.asarray(P_LIMBS).reshape((NLIMBS,) + (1,) * len(batch)),
-        (NLIMBS, *batch))
+        p_arr.reshape((NLIMBS,) + (1,) * len(batch)), (NLIMBS, *batch))
     s_cols = _conv_cols(m, p_limbs, 32)
-    s_cols = s_cols.at[:32].add(t)
+    s_cols = s_cols + t  # same shape; .at[] would emit an empty scatter index
     s, s_top = _carry_norm(s_cols)  # S < 2*R*P < 2^512; s_top==0, res < 2P
 
     res = [s[NLIMBS + i] for i in range(NLIMBS)]
     return _from_limb_list(_cond_sub_p(res, s_top))
+
+
+@jax.jit
+def mont_mul(a: jax.Array, b: jax.Array) -> jax.Array:
+    return mont_mul_core(a, b, jnp.asarray(P_LIMBS),
+                         jnp.asarray(NPRIME256_LIMBS))
 
 
 def mont_sqr(a: jax.Array) -> jax.Array:
@@ -328,16 +356,16 @@ def reduce_256(a: jax.Array) -> jax.Array:
     """
     al = _as_limb_list(a)
     q = al[NLIMBS - 1] >> (LIMB_BITS - 2)  # 0..3
-    # Gather k*P limbs by per-lane table select (table of 4).
-    pk = jnp.asarray(PK_LIMBS)  # (4,16)
-    sub_limbs = []
+    # q*P limbs (q traced, P limbs literal): values < 2^18, then normalize.
+    qp = [q * int(P_LIMBS[i]) for i in range(NLIMBS)]
+    norm = []
+    carry = 0
     for i in range(NLIMBS):
-        row = pk[:, i].astype(U32)  # (4,)
-        sub_limbs.append(
-            jnp.where(q == 0, row[0],
-                      jnp.where(q == 1, row[1],
-                                jnp.where(q == 2, row[2], row[3]))))
-    x, _ = _sub_bb(al, sub_limbs)  # no borrow possible: q*P <= value
+        sv = qp[i] + carry
+        norm.append(sv & _MASK)
+        carry = sv >> LIMB_BITS
+    # carry out is 0: q*P < 2^256
+    x, _ = _sub_bb(al, norm)  # no borrow possible: q*P <= value
     x = _cond_sub_p(x, jnp.zeros_like(x[0]))
     x = _cond_sub_p(x, jnp.zeros_like(x[0]))
     return _from_limb_list(x)

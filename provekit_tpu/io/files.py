@@ -1,0 +1,225 @@
+"""Artifact file formats: .nps (compiled scheme) and .np (proof).
+
+Mirrors the reference's checkpoint/artifact design
+(``provekit/common/src/file/{mod.rs,bin.rs}``): versioned header
+``MAGIC || format-tag || (major, minor)`` followed by a zstd-compressed body,
+with a pretty-JSON alternative selected by file extension.  The body encoding
+here is a stable JSON document (big integers as hex strings, index arrays as
+base64 little-endian u32) rather than Rust postcard — the framing, version
+gate (major must match, minor newer-or-equal) and compression behavior match.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import zlib
+from dataclasses import fields, is_dataclass
+from pathlib import Path
+
+try:
+    import zstandard as _zstd
+
+    def _compress(data: bytes) -> bytes:
+        return _zstd.ZstdCompressor(level=10).compress(data)
+
+    def _decompress(data: bytes) -> bytes:
+        return _zstd.ZstdDecompressor().decompress(data)
+
+    _COMPRESSION = b"Z"
+except ImportError:  # pragma: no cover
+    def _compress(data: bytes) -> bytes:
+        return zlib.compress(data, 6)
+
+    def _decompress(data: bytes) -> bytes:
+        return zlib.decompress(data)
+
+    _COMPRESSION = b"D"
+
+MAGIC = b"PKTPU\x00"
+VERSION = (1, 0)
+
+from ..acir import model as acir
+from ..fields import bn254 as F
+from ..protocol import WhirR1CSScheme
+from ..r1cs import R1CS, witness_builder as wb
+from ..compiler.scheme import NoirProof, NoirProofScheme
+
+# registry of dataclass types allowed in artifacts (witness builders + ACIR)
+_TYPES = {}
+for _mod in (wb, acir):
+    for _name in dir(_mod):
+        _obj = getattr(_mod, _name)
+        if is_dataclass(_obj) and isinstance(_obj, type):
+            _TYPES[f"{_mod.__name__.split('.')[-1]}.{_name}"] = _obj
+
+
+def _tag_of(obj) -> str:
+    mod = type(obj).__module__.split(".")[-1]
+    return f"{mod}.{type(obj).__name__}"
+
+
+def _enc(obj):
+    if is_dataclass(obj) and not isinstance(obj, type):
+        d = {"__t": _tag_of(obj)}
+        for f in fields(obj):
+            d[f.name] = _enc(getattr(obj, f.name))
+        return d
+    if isinstance(obj, int) and abs(obj) >= 1 << 62:
+        return {"__big": hex(obj)}
+    if isinstance(obj, tuple):
+        return {"__tup": [_enc(v) for v in obj]}
+    if isinstance(obj, list):
+        return [_enc(v) for v in obj]
+    if isinstance(obj, dict):
+        return {"__d": [[_enc(k), _enc(v)] for k, v in obj.items()]}
+    if isinstance(obj, bytes):
+        return {"__b": base64.b64encode(obj).decode()}
+    return obj
+
+
+def _dec(obj):
+    if isinstance(obj, dict):
+        if "__t" in obj:
+            cls = _TYPES[obj["__t"]]
+            kwargs = {k: _dec(v) for k, v in obj.items() if k != "__t"}
+            return cls(**kwargs)
+        if "__big" in obj:
+            return int(obj["__big"], 16)
+        if "__d" in obj:
+            return {_dec(k): _dec(v) for k, v in obj["__d"]}
+        if "__tup" in obj:
+            return tuple(_dec(v) for v in obj["__tup"])
+        if "__b" in obj:
+            return base64.b64decode(obj["__b"])
+        return obj
+    if isinstance(obj, list):
+        vals = [_dec(v) for v in obj]
+        return vals
+    return obj
+
+
+def _u32s_to_b64(xs) -> str:
+    import numpy as np
+    return base64.b64encode(
+        np.asarray(xs, dtype="<u4").tobytes()).decode()
+
+
+def _b64_to_u32s(s: str) -> list[int]:
+    import numpy as np
+    return np.frombuffer(base64.b64decode(s), dtype="<u4").tolist()
+
+
+def _r1cs_to_doc(r1cs: R1CS) -> dict:
+    return {
+        "num_public_inputs": r1cs.num_public_inputs,
+        "num_witnesses": r1cs.num_witnesses,
+        "interner": [hex(v) for v in r1cs.interner.values],
+        "matrices": {
+            name: {
+                "num_rows": m.num_rows,
+                "num_cols": m.num_cols,
+                "rows": _u32s_to_b64(m.rows),
+                "cols": _u32s_to_b64(m.cols),
+                "value_ids": _u32s_to_b64(m.value_ids),
+            } for name, m in (("a", r1cs.a), ("b", r1cs.b), ("c", r1cs.c))
+        },
+    }
+
+
+def _r1cs_from_doc(doc: dict) -> R1CS:
+    r = R1CS()
+    r.num_public_inputs = doc["num_public_inputs"]
+    r.num_witnesses = doc["num_witnesses"]
+    for v in doc["interner"]:
+        r.interner.intern(int(v, 16))
+    for name in ("a", "b", "c"):
+        m = getattr(r, name)
+        md = doc["matrices"][name]
+        m.num_rows = md["num_rows"]
+        m.num_cols = md["num_cols"]
+        m.rows = _b64_to_u32s(md["rows"])
+        m.cols = _b64_to_u32s(md["cols"])
+        m.value_ids = _b64_to_u32s(md["value_ids"])
+    return r
+
+
+def scheme_to_doc(scheme: NoirProofScheme) -> dict:
+    return {
+        "format": "NrProScm",
+        "program": _enc(scheme.program),
+        "r1cs": _r1cs_to_doc(scheme.r1cs),
+        "acir_map": {str(k): v for k, v in scheme.acir_map.items()},
+        "witness_builders": [_enc(b) for b in scheme.witness_builders],
+        "whir": {
+            "security_level": scheme.whir_for_witness.security_level,
+            "max_pow_bits": scheme.whir_for_witness.max_pow_bits,
+        },
+    }
+
+
+def scheme_from_doc(doc: dict) -> NoirProofScheme:
+    assert doc["format"] == "NrProScm", "not a proof scheme file"
+    program = _dec(doc["program"])
+    r1cs = _r1cs_from_doc(doc["r1cs"])
+    builders = [_dec(b) for b in doc["witness_builders"]]
+    scheme = WhirR1CSScheme.new_for_r1cs(
+        r1cs, security_level=doc["whir"]["security_level"],
+        max_pow_bits=doc["whir"]["max_pow_bits"])
+    return NoirProofScheme(
+        program=program, r1cs=r1cs,
+        acir_map={int(k): v for k, v in doc["acir_map"].items()},
+        witness_builders=builders, whir_for_witness=scheme)
+
+
+def proof_to_doc(proof: NoirProof) -> dict:
+    return {"format": "NPSProof", "transcript": proof.transcript.hex()}
+
+
+def proof_from_doc(doc: dict) -> NoirProof:
+    assert doc["format"] == "NPSProof", "not a proof file"
+    return NoirProof(transcript=bytes.fromhex(doc["transcript"]))
+
+
+_FORMAT_TAGS = {"NrProScm": b"\x01", "NPSProof": b"\x02"}
+
+
+def write(path, obj) -> None:
+    """Write a scheme (.nps) or proof (.np); .json extension = plain JSON."""
+    path = Path(path)
+    if isinstance(obj, NoirProofScheme):
+        doc = scheme_to_doc(obj)
+    elif isinstance(obj, NoirProof):
+        doc = proof_to_doc(obj)
+    else:
+        raise TypeError(type(obj))
+    if path.suffix == ".json":
+        path.write_text(json.dumps(doc, indent=1))
+        return
+    body = json.dumps(doc, separators=(",", ":")).encode()
+    header = (MAGIC + _FORMAT_TAGS[doc["format"]] + _COMPRESSION
+              + bytes([VERSION[0], VERSION[1]]))
+    path.write_bytes(header + _compress(body))
+
+
+def read(path):
+    path = Path(path)
+    if path.suffix == ".json":
+        doc = json.loads(path.read_text())
+    else:
+        blob = path.read_bytes()
+        if blob[:6] != MAGIC:
+            raise ValueError("bad magic: not a provekit-tpu artifact")
+        comp = blob[7:8]
+        major, minor = blob[8], blob[9]
+        if major != VERSION[0] or minor > VERSION[1]:
+            raise ValueError(f"unsupported artifact version {major}.{minor}")
+        body = (_decompress(blob[10:]) if comp == b"Z" and _COMPRESSION == b"Z"
+                else zlib.decompress(blob[10:]) if comp == b"D"
+                else _decompress(blob[10:]))
+        doc = json.loads(body)
+    if doc["format"] == "NrProScm":
+        return scheme_from_doc(doc)
+    if doc["format"] == "NPSProof":
+        return proof_from_doc(doc)
+    raise ValueError(f"unknown format {doc['format']}")

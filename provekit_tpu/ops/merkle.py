@@ -1,0 +1,128 @@
+"""Skyscraper Merkle tree: batched TPU layer hashing + host path verification.
+
+Replaces the reference's ark ``MerkleTree<SkyscraperMerkleConfig>``
+(``provekit/common/src/skyscraper/whir.rs:28-111``): leaf digest = left-fold
+of 2-to-1 compress over the leaf's field elements (``SkyscraperCRH``), inner
+nodes = ``compress(l, r)``, digests are field-native.  Every tree level is one
+batched ``compress_v`` call across all nodes (the reference hashes serially
+inside ark).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields import vector as V
+from ..hash import skyscraper as S
+
+
+@dataclass
+class MerkleTree:
+    """levels[0] = leaf digests (16, n), levels[-1] = root (16, 1)."""
+    levels: list
+
+    @property
+    def num_leaves(self) -> int:
+        return self.levels[0].shape[1]
+
+    @property
+    def depth(self) -> int:
+        return len(self.levels) - 1
+
+    def root(self) -> int:
+        return V.unpack_scalar(self.levels[-1][:, 0])
+
+    def open(self, indices: list[int]) -> list[list[int]]:
+        """Auth path per index: sibling digests bottom-up (host ints)."""
+        paths = []
+        for idx in indices:
+            path = []
+            i = idx
+            for level in self.levels[:-1]:
+                sib = i ^ 1
+                path.append(V.unpack_scalar(level[:, sib]))
+                i >>= 1
+            paths.append(path)
+        return paths
+
+
+@jax.jit
+def hash_leaves(leaves: jax.Array) -> jax.Array:
+    """(16, leaf_size, n) -> (16, n) leaf digests (left-fold compress)."""
+    if leaves.shape[1] == 1:
+        return leaves[:, 0, :]
+
+    def body(i, h):
+        return S.compress_v(h, leaves[:, i, :])
+
+    return jax.lax.fori_loop(1, leaves.shape[1], body, leaves[:, 0, :])
+
+
+DEVICE_LEVEL_MIN = 256  # levels smaller than this hash on the host (native/C++)
+
+
+def _host_levels(first: list[int]) -> list[list[int]]:
+    from .. import native
+    use_native = native.available()
+    levels = [first]
+    while len(levels[-1]) > 1:
+        cur = levels[-1]
+        if use_native:
+            nxt = [native.compress(cur[i], cur[i + 1])
+                   for i in range(0, len(cur), 2)]
+        else:
+            nxt = [S.compress(cur[i], cur[i + 1])
+                   for i in range(0, len(cur), 2)]
+        levels.append(nxt)
+    return levels
+
+
+def commit(leaves: jax.Array) -> MerkleTree:
+    """Build the full tree from (16, leaf_size, n_leaves); n_leaves = 2^k.
+
+    Large levels hash on-device (one batched compress per level); small
+    levels fall back to the native host kernel — avoids compiling a device
+    kernel per tail shape and is faster at those sizes anyway.
+    """
+    n_leaves = leaves.shape[2]
+    if n_leaves <= DEVICE_LEVEL_MIN:
+        # whole tree on the host (native C++ when available): avoids one
+        # device compile per tree geometry for small trees
+        from .. import native
+        vals = V.unpack(leaves.reshape(16, -1))  # (leaf, n) flattened
+        leaf_size = leaves.shape[1]
+        cmp = native.compress if native.available() else S.compress
+        digests = []
+        for j in range(n_leaves):
+            h = vals[j]
+            for i in range(1, leaf_size):
+                h = cmp(h, vals[i * n_leaves + j])
+            digests.append(h)
+        host = _host_levels(digests)
+        return MerkleTree([V.pack(lv) for lv in host])
+    digests = hash_leaves(leaves)
+    levels = [digests]
+    while levels[-1].shape[1] > max(1, DEVICE_LEVEL_MIN):
+        cur = levels[-1]
+        levels.append(S.compress_v(cur[:, 0::2], cur[:, 1::2]))
+    if levels[-1].shape[1] > 1:
+        host = _host_levels(V.unpack(levels[-1]))
+        levels.extend(V.pack(lv) for lv in host[1:])
+    return MerkleTree(levels)
+
+
+def verify_path(root: int, leaf_values: list[int], index: int,
+                path: list[int]) -> bool:
+    """Host-side path check: hash leaf values, then climb with siblings."""
+    h = leaf_values[0]
+    for v in leaf_values[1:]:
+        h = S.compress(h, v)
+    i = index
+    for sib in path:
+        h = S.compress(h, sib) if i % 2 == 0 else S.compress(sib, h)
+        i >>= 1
+    return h == root

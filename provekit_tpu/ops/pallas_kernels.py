@@ -1,0 +1,117 @@
+"""Pallas TPU kernels for the hot compute paths.
+
+The XLA path lowers each field op as fused elementwise HLO, but sequential
+chains (the 18 Skyscraper rounds, CIOS stages) round-trip HBM between steps.
+These kernels keep the whole computation VMEM-resident per tile:
+
+* ``mont_mul_pallas``: batched Montgomery product, one (16, TILE) tile per
+  grid step.
+* ``compress_pallas``: full Skyscraper compression (18 rounds + feed-forward)
+  in a single kernel — the Merkle/PoW workhorse.
+
+All kernels reuse the exact jnp limb algebra from ``fields.vector`` (it
+traces into Mosaic vector ops), so correctness is inherited from the
+differentially-tested field layer.  Select with ``PROVEKIT_TPU_PALLAS=1``
+(auto-enabled on TPU platforms for supported shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields import bn254 as F
+from ..fields import vector as V
+
+TILE = 512
+
+
+def _pallas_enabled() -> bool:
+    # Opt-in: the XLA-fused path currently beats the first-cut kernels at
+    # moderate batch sizes; flip on for kernel tuning work.
+    env = os.environ.get("PROVEKIT_TPU_PALLAS")
+    return env is not None and env not in ("0", "false", "")
+
+
+# ---------------------------------------------------------------------------
+# Montgomery multiply
+
+
+def _mont_mul_kernel(consts_ref, a_ref, b_ref, out_ref):
+    out_ref[:] = V.mont_mul_core(a_ref[:], b_ref[:], consts_ref[0],
+                                 consts_ref[1])
+
+
+@functools.partial(jax.jit, static_argnums=())
+def mont_mul_pallas(a: jax.Array, b: jax.Array) -> jax.Array:
+    n = a.shape[1]
+    tile = min(TILE, n)
+    assert n % tile == 0
+    import numpy as _np
+    consts = jnp.asarray(_np.stack([V.P_LIMBS, V.NPRIME256_LIMBS]))
+    return pl.pallas_call(
+        _mont_mul_kernel,
+        grid=(n // tile,),
+        in_specs=[pl.BlockSpec((2, 16), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((16, tile), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((16, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, n), jnp.uint32),
+    )(consts, a, b)
+
+
+# ---------------------------------------------------------------------------
+# Skyscraper compression
+
+
+def _compress_kernel(rc_ref, consts_ref, l_ref, r_ref, out_ref):
+    from ..hash import skyscraper as S
+    l0 = l_ref[:]
+    l, r = S._permute_core(l0, r_ref[:], lambda k: rc_ref[k, :],
+                           consts_ref[0], consts_ref[1])
+    out_ref[:] = V.add_mod.__wrapped__(l, l0)
+
+
+@functools.partial(jax.jit, static_argnums=())
+def compress_pallas(l: jax.Array, r: jax.Array) -> jax.Array:
+    from ..hash import skyscraper as S
+    n = l.shape[1]
+    tile = min(TILE, n)
+    assert n % tile == 0
+    rc = jnp.asarray(S._RC_LIMBS)
+    import numpy as _np
+    consts = jnp.asarray(_np.stack([V.P_LIMBS, V.NPRIME256_LIMBS]))
+    return pl.pallas_call(
+        _compress_kernel,
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((18, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((16, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, n), jnp.uint32),
+    )(rc, consts, l, r)
+
+
+def compress_dispatch(l: jax.Array, r: jax.Array) -> jax.Array:
+    """compress_v with Pallas fast path for supported shapes."""
+    from ..hash import skyscraper as S
+    n = l.shape[-1]
+    if (_pallas_enabled() and l.ndim == 2 and n >= 128
+            and n % min(TILE, n) == 0 and (n & (n - 1)) == 0):
+        return compress_pallas(l, r)
+    return S.compress_v(l, r)

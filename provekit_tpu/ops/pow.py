@@ -1,0 +1,95 @@
+"""Proof-of-work grinding (WHIR round grinding) on TPU.
+
+Replaces ``skyscraper/core/src/pow.rs`` + the rayon nonce grid
+(``generic.rs:42-71``): condition is ``compress(challenge, nonce) <
+threshold`` with ``threshold ~ 2^-difficulty * p`` computed through the same
+f64 path as the reference (``pow.rs:14-22, 44-82``), including the +0.01-bit
+prover bias.  The TPU solver scans nonce blocks with one batched compress per
+block — embarrassingly parallel, shardable across chips.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields import bn254 as F
+from ..fields import vector as V
+from ..hash import skyscraper as S
+
+PROVER_BIAS = 0.01
+BLOCK = 4096
+
+
+def _f64_parts(f: float) -> tuple[bool, int, int]:
+    bits = struct.unpack("<Q", struct.pack("<d", f))[0]
+    sign = bits >> 63 != 0
+    exp_bits = (bits >> 52) & 0x7FF
+    frac = bits & ((1 << 52) - 1)
+    if exp_bits == 0:
+        return sign, -1022, frac
+    return sign, exp_bits - 1023, frac + (1 << 52)
+
+
+def _f64_to_u256(f: float) -> int:
+    if f != f:  # NaN -> MAX (matches reference's exp>256 branch)
+        return (1 << 256) - 1
+    sign, exp, significand = _f64_parts(f)
+    if sign:
+        return 0
+    if exp > 256:
+        return (1 << 256) - 1
+    shift = exp - 52
+    if shift < 0:
+        # round-half-even like Rust f64::round? Rust rounds half away from 0;
+        # only reachable for tiny thresholds (difficulty ~ field bits).
+        return int(f + 0.5)
+    return significand << shift
+
+
+def threshold(difficulty: float) -> int:
+    assert 0.0 <= difficulty < 80.0, "difficulty must be in [0, 80)"
+    modulus = float(F.P >> 192) * 2.0 ** 192
+    prob = 2.0 ** (-difficulty)
+    return min(_f64_to_u256(prob * modulus), (1 << 256) - 1)
+
+
+def verify(challenge: int, difficulty: float, nonce: int) -> bool:
+    if difficulty == 0.0:
+        return True
+    return S.compress(challenge, nonce) < threshold(difficulty)
+
+
+def _less_than_mask(a: jax.Array, bound: int) -> jax.Array:
+    bl = [jnp.uint32((bound >> (16 * i)) & 0xFFFF) for i in range(16)]
+    _, borrow = V._sub_bb(V._as_limb_list(a), bl)
+    return borrow == 1
+
+
+def solve(challenge: int, difficulty: float, block: int = BLOCK,
+          max_blocks: int = 1 << 14) -> int:
+    """Find the smallest-in-block nonce satisfying the PoW condition."""
+    if difficulty == 0.0:
+        return 0
+    thresh = threshold(difficulty + PROVER_BIAS)
+    ch = V.broadcast_scalar(V.pack_scalar(challenge), (block,))
+    nonces_np = np.arange(block, dtype=np.uint32)
+    base_limbs = np.zeros((16, block), dtype=np.uint32)
+    base_limbs[0] = nonces_np & 0xFFFF
+    base_limbs[1] = nonces_np >> 16
+    for blk in range(max_blocks):
+        offset = blk * block
+        limbs = base_limbs.copy()
+        vals = nonces_np.astype(np.uint64) + np.uint64(offset)  # nonce fits u64
+        for i in range(4):
+            limbs[i] = ((vals >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(np.uint32)
+        hashes = S.compress_v(ch, jnp.asarray(limbs))
+        mask = np.asarray(_less_than_mask(hashes, thresh))
+        if mask.any():
+            nonce = offset + int(np.nonzero(mask)[0][0])
+            assert verify(challenge, difficulty, nonce)
+            return nonce
+    raise RuntimeError("PoW solver exhausted nonce budget")

@@ -1,0 +1,242 @@
+"""Sumcheck compute kernels: eq-tables, folds, cubic round sums.
+
+TPU-native equivalents of the reference's fused rayon kernels
+(``provekit/common/src/utils/sumcheck.rs:16-218``).  The per-round
+fold-map-reduce becomes two whole-array passes (fold, then map+tree-reduce);
+XLA fuses the elementwise chains, and the arrays halve every round.
+
+Variable order convention (matches the reference): the FIRST challenge binds
+the most-significant index bit — ``eq`` tables are built MSB-first and rounds
+pair ``x[i]`` with ``x[i + n/2]``.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+from ..fields import bn254 as F
+from ..fields import vector as V
+
+# Below this size, ops run on the host (Python ints): tiny tail rounds are
+# latency/compile-bound on device, and every distinct shape costs an XLA
+# compile (this build machine has 2 CPUs — see docs/PARITY.md notes).
+HOST_TAIL = int(os.environ.get("PROVEKIT_TPU_HOST_TAIL", "1024"))
+
+
+def _host(arr) -> list[int]:
+    return [F.from_mont(v) for v in V.unpack(arr)]
+
+
+def _dev(vals: list[int]) -> jax.Array:
+    return V.pack([F.to_mont(v) for v in vals])
+
+
+def eq_table(rs: list[int]) -> jax.Array:
+    """Evaluations of eq(r, x) over the boolean hypercube, (16, 2^m) Montgomery.
+
+    Reference: ``calculate_evaluations_over_boolean_hypercube_for_eq``
+    (sumcheck.rs:146-171).  Iterative doubling: E <- [E*(1-r_k), E*r_k].
+    """
+    # Process in reverse so rs[0] ends up on the most-significant index bit.
+    # Small prefixes build on the host (avoids one device compile per size);
+    # the remaining doublings run on device.
+    host_vars = min(len(rs), 10)
+    host = [1]
+    for r in reversed(rs[len(rs) - host_vars:]):
+        one_minus = F.sub(1, r)
+        host = [x * one_minus % F.P for x in host] + [x * r % F.P for x in host]
+    table = V.pack([F.to_mont(x) for x in host])
+    for r in reversed(rs[:len(rs) - host_vars]):
+        table = _eq_double(table, V.pack_scalar(F.to_mont(r)),
+                           V.pack_scalar(F.to_mont(F.sub(1, r))))
+    return table
+
+
+@jax.jit
+def _eq_double(table: jax.Array, r: jax.Array, one_minus_r: jax.Array) -> jax.Array:
+    n = table.shape[1]
+    rb = jnp.broadcast_to(r[:, None], (16, n))
+    ob = jnp.broadcast_to(one_minus_r[:, None], (16, n))
+    return jnp.concatenate([V.mont_mul(table, ob), V.mont_mul(table, rb)], axis=1)
+
+
+def eq_point(rs: list[int], alphas: list[int]) -> int:
+    """eq(r, alpha) as a host scalar (sumcheck.rs:196-202)."""
+    acc = 1
+    for r, a in zip(rs, alphas):
+        acc = acc * (r * a + (1 - r) * (1 - a)) % F.P
+    return acc % F.P
+
+
+def _is_traced(*xs) -> bool:
+    return any(isinstance(x, jax.core.Tracer) for x in xs)
+
+
+@jax.jit
+def _fold_dev(x: jax.Array, alpha: jax.Array) -> jax.Array:
+    n = x.shape[1]
+    lo, hi = x[:, :n // 2], x[:, n // 2:]
+    ab = jnp.broadcast_to(alpha[:, None], (16, n // 2))
+    return V.add_mod(lo, V.mont_mul(ab, V.sub_mod(hi, lo)))
+
+
+def fold(x: jax.Array, alpha: jax.Array) -> jax.Array:
+    """Bind the MSB variable to alpha: (16, n) -> (16, n/2).
+
+    x' = lo + alpha * (hi - lo), lo/hi the two halves.
+    Small sizes run on the host (one XLA compile per shape otherwise).
+    """
+    n = x.shape[1]
+    if n <= HOST_TAIL and not _is_traced(x, alpha):
+        xs = _host(x)
+        a = F.from_mont(V.unpack_scalar(alpha))
+        h = n // 2
+        return _dev([(xs[i] + a * (xs[i + h] - xs[i])) % F.P for i in range(h)])
+    return _fold_dev(x, alpha)
+
+
+def spartan_round(a, b, c, eq):
+    """Dispatch wrapper: host tail for small sizes (see _spartan_round_dev)."""
+    n = a.shape[1]
+    if n <= HOST_TAIL and not _is_traced(a, b, c, eq):
+        av, bv, cv, ev = _host(a), _host(b), _host(c), _host(eq)
+        h = n // 2
+        f0 = fm1 = finf = 0
+        for i in range(h):
+            a0, a1 = av[i], av[i + h]
+            b0, b1 = bv[i], bv[i + h]
+            c0, c1 = cv[i], cv[i + h]
+            e0, e1 = ev[i], ev[i + h]
+            f0 += e0 * (a0 * b0 - c0)
+            fm1 += (2 * e0 - e1) * ((2 * a0 - a1) * (2 * b0 - b1) - (2 * c0 - c1))
+            finf += (e1 - e0) * (a1 - a0) * (b1 - b0)
+        return (V.pack_scalar(F.to_mont(f0 % F.P)),
+                V.pack_scalar(F.to_mont(fm1 % F.P)),
+                V.pack_scalar(F.to_mont(finf % F.P)))
+    return _spartan_round_dev(a, b, c, eq)
+
+
+@jax.jit
+def _spartan_round_dev(a: jax.Array, b: jax.Array, c: jax.Array, eq: jax.Array):
+    """One Spartan sumcheck round over F(x) = eq(x) * (a(x) b(x) - c(x)).
+
+    Returns the three cubic evaluations the prover sends
+    (``run_zk_sumcheck_prover``'s map closure, prover/src/whir_r1cs.rs:284-291):
+    sum F at X=0, at X=-1, and the X^3 leading coefficient.
+    All inputs (16, n) Montgomery; outputs three (16,) Montgomery scalars.
+    """
+    n = a.shape[1]
+    h = n // 2
+    a0, a1 = a[:, :h], a[:, h:]
+    b0, b1 = b[:, :h], b[:, h:]
+    c0, c1 = c[:, :h], c[:, h:]
+    e0, e1 = eq[:, :h], eq[:, h:]
+
+    def dbl_sub(x0, x1):  # 2*x0 - x1  (evaluation at X=-1 along the line)
+        return V.sub_mod(V.add_mod(x0, x0), x1)
+
+    f0 = V.mont_mul(e0, V.sub_mod(V.mont_mul(a0, b0), c0))
+    fm1 = V.mont_mul(
+        dbl_sub(e0, e1),
+        V.sub_mod(V.mont_mul(dbl_sub(a0, a1), dbl_sub(b0, b1)), dbl_sub(c0, c1)))
+    finf = V.mont_mul(V.sub_mod(e1, e0),
+                      V.mont_mul(V.sub_mod(a1, a0), V.sub_mod(b1, b0)))
+    return V.sum_mod(f0), V.sum_mod(fm1), V.sum_mod(finf)
+
+
+@jax.jit
+def weighted_sum(weights: jax.Array, values: jax.Array) -> jax.Array:
+    """Modular dot product <weights, values>: (16,n)x(16,n) -> (16,)."""
+    return V.sum_mod(V.mont_mul(weights, values))
+
+
+def eval_multilinear(evals: jax.Array, point: list[int]) -> int:
+    """Evaluate an MLE given by hypercube evals at a point (MSB-first).
+
+    evals: (16, 2^m) Montgomery; returns a canonical host int.
+    """
+    x = evals
+    for p in point:
+        x = fold(x, V.pack_scalar(F.to_mont(p)))
+    return F.from_mont(V.unpack_scalar(x[:, 0]))
+
+
+def eval_cubic(coeffs: list[int], x: int) -> int:
+    """Horner eval of a polynomial given coefficients [c0..] (host scalars)."""
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * x + c) % F.P
+    return acc
+
+
+# --- LSB-order kernels (WHIR folding order) --------------------------------
+
+
+@jax.jit
+def _fold_lsb_dev(x: jax.Array, alpha: jax.Array) -> jax.Array:
+    n = x.shape[1]
+    ev = x[:, 0::2]
+    od = x[:, 1::2]
+    ab = jnp.broadcast_to(alpha[:, None], (16, n // 2))
+    return V.add_mod(ev, V.mont_mul(ab, V.sub_mod(od, ev)))
+
+
+def fold_lsb(x: jax.Array, alpha: jax.Array) -> jax.Array:
+    """Bind the LSB variable to alpha (WHIR order): pairs (x[2i], x[2i+1]).
+
+    x' = even + alpha * (odd - even); works for evaluation vectors.
+    """
+    n = x.shape[1]
+    if n <= HOST_TAIL and not _is_traced(x, alpha):
+        xs = _host(x)
+        a = F.from_mont(V.unpack_scalar(alpha))
+        return _dev([(xs[2 * i] + a * (xs[2 * i + 1] - xs[2 * i])) % F.P
+                     for i in range(n // 2)])
+    return _fold_lsb_dev(x, alpha)
+
+
+def whir_round(f: jax.Array, w: jax.Array):
+    """One WHIR sumcheck round on h(X) = sum_x f(x,X) w(x,X), LSB binding.
+
+    Returns the three coefficients [h0, h1, h2] of the quadratic round
+    polynomial as (16,) Montgomery scalars.
+    """
+    n = f.shape[1]
+    if n <= HOST_TAIL and not _is_traced(f, w):
+        fv, wv = _host(f), _host(w)
+        h0 = h1 = h2 = 0
+        for i in range(n // 2):
+            f0, f1 = fv[2 * i], fv[2 * i + 1]
+            w0, w1 = wv[2 * i], wv[2 * i + 1]
+            df, dw = f1 - f0, w1 - w0
+            h0 += f0 * w0
+            h1 += f0 * dw + w0 * df
+            h2 += df * dw
+        return (V.pack_scalar(F.to_mont(h0 % F.P)),
+                V.pack_scalar(F.to_mont(h1 % F.P)),
+                V.pack_scalar(F.to_mont(h2 % F.P)))
+    return _whir_round_dev(f, w)
+
+
+@jax.jit
+def _whir_round_dev(f: jax.Array, w: jax.Array):
+    f0, f1 = f[:, 0::2], f[:, 1::2]
+    w0, w1 = w[:, 0::2], w[:, 1::2]
+    df = V.sub_mod(f1, f0)
+    dw = V.sub_mod(w1, w0)
+    h0 = V.sum_mod(V.mont_mul(f0, w0))
+    h1 = V.sum_mod(V.add_mod(V.mont_mul(f0, dw), V.mont_mul(w0, df)))
+    h2 = V.sum_mod(V.mont_mul(df, dw))
+    return h0, h1, h2
+
+
+def eval_multilinear_lsb(evals: jax.Array, binders: list[int]) -> jax.Array:
+    """Bind variables LSB-first with successive scalars; returns remaining."""
+    x = evals
+    for b in binders:
+        x = fold_lsb(x, V.pack_scalar(F.to_mont(b)))
+    return x

@@ -1,0 +1,208 @@
+"""R1CS constraint system: interner, CSR/COO sparse matrices, TPU matvecs.
+
+Mirrors the reference data model (``provekit/common/src/r1cs.rs:8-103``,
+``sparse_matrix.rs:12-27``, ``interner.rs:6-12``): three sparse matrices
+A, B, C over Fr with interned coefficient values, satisfying
+``(A z) o (B z) == C z``.  Witness index 0 is the constant-one column.
+
+TPU design: matrices freeze to device COO arrays (rows, cols, Montgomery
+value planes); matvec = gather + batched Montgomery product + modular
+segment-sum — replacing the serial row loops the reference marks
+"OPT: Paralelize" (``sparse_matrix.rs:148,168``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields import bn254 as F
+from ..fields import vector as V
+from ..fields.wide import segment_sum_mod
+
+
+class Interner:
+    """Deduplicates field constants (reference: O(n) scan; here a dict)."""
+
+    def __init__(self):
+        self.values: list[int] = []
+        self._index: dict[int, int] = {}
+
+    def intern(self, value: int) -> int:
+        value %= F.P
+        idx = self._index.get(value)
+        if idx is None:
+            idx = len(self.values)
+            self.values.append(value)
+            self._index[value] = idx
+        return idx
+
+    def get(self, idx: int) -> int:
+        return self.values[idx]
+
+    def __len__(self) -> int:
+        return len(self.values)
+
+
+class SparseMatrix:
+    """COO sparse matrix over Fr with interned values (build on host)."""
+
+    def __init__(self, num_rows: int, num_cols: int, interner: Interner):
+        self.num_rows = num_rows
+        self.num_cols = num_cols
+        self.interner = interner
+        self.rows: list[int] = []
+        self.cols: list[int] = []
+        self.value_ids: list[int] = []
+        self._frozen = None
+
+    def set(self, row: int, col: int, value: int) -> None:
+        assert 0 <= row and 0 <= col < self.num_cols
+        self.num_rows = max(self.num_rows, row + 1)
+        self.rows.append(row)
+        self.cols.append(col)
+        self.value_ids.append(self.interner.intern(value))
+        self._frozen = None
+
+    def grow(self, num_rows: int, num_cols: int) -> None:
+        self.num_rows = max(self.num_rows, num_rows)
+        self.num_cols = max(self.num_cols, num_cols)
+        self._frozen = None
+
+    @property
+    def nnz(self) -> int:
+        return len(self.rows)
+
+    def iter_entries(self):
+        for r, c, vid in zip(self.rows, self.cols, self.value_ids):
+            yield r, c, self.interner.get(vid)
+
+    # -- device side -------------------------------------------------------
+
+    def frozen(self) -> "FrozenMatrix":
+        if self._frozen is None:
+            rows = jnp.asarray(np.asarray(self.rows, dtype=np.int32))
+            cols = jnp.asarray(np.asarray(self.cols, dtype=np.int32))
+            table = V.pack([F.to_mont(v) for v in self.interner.values])
+            vids = jnp.asarray(np.asarray(self.value_ids, dtype=np.int32))
+            vals = table[:, vids] if self.nnz else V.zeros((0,))
+            self._frozen = FrozenMatrix(rows, cols, vals,
+                                        self.num_rows, self.num_cols)
+        return self._frozen
+
+    def mul_right(self, z: jax.Array) -> jax.Array:
+        """M @ z: z is (16, num_cols) Montgomery -> (16, num_rows) Montgomery."""
+        return self.frozen().mul_right(z)
+
+    def mul_left(self, e: jax.Array) -> jax.Array:
+        """e^T @ M: e is (16, num_rows) Montgomery -> (16, num_cols)."""
+        return self.frozen().mul_left(e)
+
+
+HOST_TAIL_NNZ = 4096
+
+
+@dataclass
+class FrozenMatrix:
+    rows: jax.Array  # (nnz,) int32
+    cols: jax.Array  # (nnz,) int32
+    vals: jax.Array  # (16, nnz) Montgomery
+    num_rows: int
+    num_cols: int
+
+    def _host_mul(self, vec: jax.Array, by, out_len: int) -> jax.Array:
+        vv = [F.from_mont(v) for v in V.unpack(vec)]
+        vals = [F.from_mont(v) for v in V.unpack(self.vals)]
+        rows = np.asarray(self.rows)
+        cols = np.asarray(self.cols)
+        out = [0] * out_len
+        if by == "rows":
+            for r, c, v in zip(rows, cols, vals):
+                out[r] = (out[r] + v * vv[c]) % F.P
+        else:
+            for r, c, v in zip(rows, cols, vals):
+                out[c] = (out[c] + v * vv[r]) % F.P
+        return V.pack([F.to_mont(v) for v in out])
+
+    def mul_right(self, z: jax.Array) -> jax.Array:
+        if self.rows.shape[0] <= HOST_TAIL_NNZ and not isinstance(
+                z, jax.core.Tracer):
+            return self._host_mul(z, "rows", self.num_rows)
+        prods = V.mont_mul(self.vals, z[:, self.cols])
+        return segment_sum_mod(prods, self.rows, self.num_rows)
+
+    def mul_left(self, e: jax.Array) -> jax.Array:
+        if self.rows.shape[0] <= HOST_TAIL_NNZ and not isinstance(
+                e, jax.core.Tracer):
+            return self._host_mul(e, "cols", self.num_cols)
+        prods = V.mont_mul(self.vals, e[:, self.rows])
+        return segment_sum_mod(prods, self.cols, self.num_cols)
+
+
+class R1CS:
+    """The constraint system (reference ``r1cs.rs``): A z o B z = C z."""
+
+    def __init__(self):
+        self.interner = Interner()
+        self.a = SparseMatrix(0, 1, self.interner)
+        self.b = SparseMatrix(0, 1, self.interner)
+        self.c = SparseMatrix(0, 1, self.interner)
+        self.num_public_inputs = 0
+        self.num_witnesses = 1  # index 0 is the constant 1
+
+    @property
+    def num_constraints(self) -> int:
+        return self.a.num_rows
+
+    def new_witness(self) -> int:
+        idx = self.num_witnesses
+        self.num_witnesses += 1
+        for m in (self.a, self.b, self.c):
+            m.grow(m.num_rows, self.num_witnesses)
+        return idx
+
+    def new_witnesses(self, n: int) -> int:
+        first = self.num_witnesses
+        self.num_witnesses += n
+        for m in (self.a, self.b, self.c):
+            m.grow(m.num_rows, self.num_witnesses)
+        return first
+
+    def add_constraint(self, a_terms, b_terms, c_terms) -> None:
+        """Each *_terms: iterable of (coeff:int, witness_index:int)."""
+        row = self.num_constraints
+        for m, terms in ((self.a, a_terms), (self.b, b_terms), (self.c, c_terms)):
+            m.grow(row + 1, self.num_witnesses)
+            for coeff, widx in terms:
+                if coeff % F.P:
+                    m.set(row, widx, coeff)
+
+    # -- evaluation --------------------------------------------------------
+
+    def witness_bounds(self, z: jax.Array):
+        """(A z, B z, (A z) o (B z)) padded to a power of two.
+
+        Matches ``calculate_witness_bounds`` (common/src/utils/sumcheck.rs:
+        181-193): c is derived elementwise from a o b, not C z.
+        """
+        az = self.a.mul_right(z)
+        bz = self.b.mul_right(z)
+        cz = V.mont_mul(az, bz)
+        n = self.num_constraints
+        m = 1 << max(1, (n - 1).bit_length()) if n > 1 else 1
+        pad = [(0, 0), (0, m - n)]
+        return (jnp.pad(az, pad), jnp.pad(bz, pad), jnp.pad(cz, pad))
+
+    def is_satisfied(self, z: jax.Array) -> bool:
+        az = self.a.mul_right(z)
+        bz = self.b.mul_right(z)
+        cz = self.c.mul_right(z)
+        lhs = V.mont_mul(az, bz)
+        return bool(jnp.all(V.eq_mask(lhs, cz)))
+
+    def check_z0(self, z: jax.Array) -> bool:
+        one = V.pack([F.to_mont(1)])
+        return bool(jnp.all(V.eq_mask(z[:, :1], one)))

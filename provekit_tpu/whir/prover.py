@@ -1,0 +1,230 @@
+"""WHIR opening prover: initial sumcheck, folding rounds, STIR queries, final.
+
+Replaces ``whir::whir::prover::Prover::prove`` (used by
+``run_zk_whir_pcs_prover``, reference prover/src/whir_r1cs.rs:414-437).
+Protocol flow mirrors the in-repo gnark verifier
+(recursive-verifier/app/circuit/whir.go:51-220), which is the reference's
+own bit-level description of the WHIR transcript.
+
+All heavy work is batched device compute: folds, round sums, wavelet + NTT
+re-encodings, Merkle layers.  Host code only sequences the sponge.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+
+from ..fields import bn254 as F
+from ..fields import vector as V
+from ..ops import merkle, ntt
+from ..ops import pow as pow_mod
+from ..ops import sumcheck as sc
+from .committer import ProverCommitment, fold_leaves_view
+from .hints import serialize_openings
+from .parameters import WhirConfig
+from .statement import Statement, univariate_to_multilinear_point
+
+
+def proof_pattern(ds, config: WhirConfig, label: str = "") -> None:
+    """Transcript shape of a WHIR opening proof (add_whir_proof)."""
+    ds.squeeze(1, f"initial_combination_randomness{label}")
+    for _ in range(config.initial_folding_factor):
+        ds.absorb(3, "sumcheck_poly").squeeze(1, "folding_randomness")
+    for rc in config.rounds:
+        ds.absorb(1, "merkle_root")
+        if rc.ood_samples:
+            ds.squeeze(rc.ood_samples, "ood_query")
+            ds.absorb(rc.ood_samples, "ood_answers")
+        if rc.pow_bits > 0:
+            ds.squeeze(1, "pow_challenge").absorb(1, "pow_nonce")
+        ds.squeeze(rc.num_queries, "stir_queries")
+        ds.hint("stir_answers")
+        ds.squeeze(1, "combination_randomness")
+        for _ in range(rc.folding_factor):
+            ds.absorb(3, "sumcheck_poly").squeeze(1, "folding_randomness")
+    ds.absorb(1 << config.final_sumcheck_rounds, "final_coefficients")
+    if config.final_pow_bits > 0:
+        ds.squeeze(1, "pow_challenge").absorb(1, "pow_nonce")
+    ds.squeeze(config.final_queries, "final_queries")
+    ds.hint("final_answers")
+    for _ in range(config.final_sumcheck_rounds):
+        ds.absorb(3, "sumcheck_poly").squeeze(1, "folding_randomness")
+    if config.final_folding_pow_bits > 0:
+        ds.squeeze(1, "pow_challenge").absorb(1, "pow_nonce")
+
+
+@dataclass
+class ProveOutput:
+    binders: list[int]          # all folding randomness, in drawing order
+    final_coeffs: list[int]
+
+
+def _stir_indices(transcript, num_queries: int, folded_domain: int) -> list[int]:
+    """Squeeze query scalars and map to sorted, deduplicated leaf indices."""
+    scalars = transcript.challenge_scalars(num_queries)
+    return sorted({s % folded_domain for s in scalars})
+
+
+def _open_oracle(encoding, tree: merkle.MerkleTree, indices: list[int],
+                 fold_size: int):
+    """Leaf values (per index, poly-major x t-minor) + auth paths."""
+    view = encoding.reshape(16, -1)  # (16, k*N)
+    k = encoding.shape[1]
+    n = encoding.shape[2]
+    per_leaf = n // fold_size
+    values = []
+    for idx in indices:
+        vals = []
+        for i in range(k):
+            for t in range(fold_size):
+                vals.append(i * n + t * per_leaf + idx)
+        values.append(vals)
+    flat = [j for vals in values for j in vals]
+    got = V.unpack(view[:, flat])
+    got = [F.from_mont(v) for v in got]
+    leaf_elems = k * fold_size
+    leaf_values = [got[i * leaf_elems:(i + 1) * leaf_elems]
+                   for i in range(len(indices))]
+    paths = tree.open(indices)
+    return leaf_values, paths
+
+
+def _send_pow(transcript, bits: float) -> None:
+    ch = transcript.challenge_scalars(1)[0]
+    nonce = pow_mod.solve(ch, bits)
+    transcript.add_scalars([nonce])
+
+
+def prove(transcript, config: WhirConfig, commitment: ProverCommitment,
+          statement: Statement) -> ProveOutput:
+    m = config.num_variables
+    iff = config.initial_folding_factor
+    fold_size = 1 << iff
+
+    # --- initial claim + weight combination -------------------------------
+    chat = transcript.challenge_scalars(1)[0]
+    ood_answers = commitment.combined_ood_answers()
+    values = ood_answers + [sigma for _, sigma in statement.constraints]
+    claim, g = 0, 1
+    powers = []
+    for v in values:
+        powers.append(g)
+        claim = (claim + g * v) % F.P
+        g = g * chat % F.P
+
+    w = V.zeros((1 << m,))
+    weight_tables = (
+        [sc.eq_table(univariate_to_multilinear_point(z, m))
+         for z in commitment.ood_points]
+        + [wt.table() for wt, _ in statement.constraints])
+    for coeff, table in zip(powers, weight_tables):
+        cb = V.broadcast_scalar(V.pack_scalar(F.to_mont(coeff)), table.shape[1:])
+        w = V.add_mod(w, V.mont_mul(cb, table))
+
+    f = commitment.combined
+    binders: list[int] = []
+
+    def sumcheck_rounds(f, w, claim, count):
+        for _ in range(count):
+            h0, h1, h2 = sc.whir_round(f, w)
+            coeffs = [F.from_mont(V.unpack_scalar(h)) for h in (h0, h1, h2)]
+            transcript.add_scalars(coeffs)
+            alpha = transcript.challenge_scalars(1)[0]
+            binders.append(alpha)
+            ab = V.pack_scalar(F.to_mont(alpha))
+            f = sc.fold_lsb(f, ab)
+            w = sc.fold_lsb(w, ab)
+            claim = sc.eval_cubic(coeffs, alpha)
+        return f, w, claim
+
+    f, w, claim = sumcheck_rounds(f, w, claim, iff)
+
+    prev_encoding = commitment.encoding
+    prev_tree = commitment.tree
+    prev_log_domain = config.starting_log_domain
+    prev_alphas = binders[-iff:]
+    prev_fold_size = fold_size
+    prev_batch = config.batch_size
+
+    for r, rc in enumerate(config.rounds):
+        # commit f^(r+1)
+        log_dom = config.starting_log_domain - (r + 1)
+        coeffs_arr = ntt.coeffs_of_evals(f)
+        enc = ntt.rs_encode(coeffs_arr, log_dom)
+        rfold = 1 << rc.folding_factor
+        leaves = fold_leaves_view(enc, rfold)
+        tree = merkle.commit(V.from_mont(leaves))
+        transcript.add_scalars([tree.root()])
+
+        m_cur = m - iff - rc.folding_factor * r
+        round_values, round_points = [], []
+        if rc.ood_samples:
+            oods = transcript.challenge_scalars(rc.ood_samples)
+            answers = [sc.eval_multilinear(
+                f, univariate_to_multilinear_point(z, m_cur)) for z in oods]
+            transcript.add_scalars(answers)
+            round_values.extend(answers)
+            round_points.extend(oods)
+
+        if rc.pow_bits > 0:
+            _send_pow(transcript, rc.pow_bits)
+
+        folded_domain = (1 << prev_log_domain) // prev_fold_size
+        indices = _stir_indices(transcript, rc.num_queries, folded_domain)
+        leaf_values, paths = _open_oracle(prev_encoding, prev_tree, indices,
+                                          prev_fold_size)
+        transcript.hint_bytes(serialize_openings(indices, leaf_values, paths))
+
+        # fold values = evals of f^(r+1) at y^prev_fold for queried y
+        omega_prev = F.root_of_unity(prev_log_domain)
+        n_cur = 1 << log_dom
+        for idx in indices:
+            point = pow(omega_prev, prev_fold_size * idx, F.P)
+            enc_idx = (prev_fold_size // 2) * idx % n_cur
+            val = F.from_mont(V.unpack_scalar(enc[:, enc_idx]))
+            round_values.append(val)
+            round_points.append(point)
+
+        chat_r = transcript.challenge_scalars(1)[0]
+        gpow = 1
+        add_w = V.zeros((1 << m_cur,))
+        for z, v in zip(round_points, round_values):
+            claim = (claim + gpow * v) % F.P
+            table = sc.eq_table(univariate_to_multilinear_point(z, m_cur))
+            cb = V.broadcast_scalar(V.pack_scalar(F.to_mont(gpow)),
+                                    table.shape[1:])
+            add_w = V.add_mod(add_w, V.mont_mul(cb, table))
+            gpow = gpow * chat_r % F.P
+        w = V.add_mod(w, add_w)
+
+        f, w, claim = sumcheck_rounds(f, w, claim, rc.folding_factor)
+
+        prev_encoding = enc.reshape(16, 1, n_cur)
+        prev_tree = tree
+        prev_log_domain = log_dom
+        prev_alphas = binders[-rc.folding_factor:]
+        prev_fold_size = rfold
+        prev_batch = 1
+
+    # --- final phase ------------------------------------------------------
+    final_coeffs_arr = ntt.coeffs_of_evals(f)
+    final_coeffs = [F.from_mont(v) for v in V.unpack(final_coeffs_arr)]
+    transcript.add_scalars(final_coeffs)
+
+    if config.final_pow_bits > 0:
+        _send_pow(transcript, config.final_pow_bits)
+
+    folded_domain = (1 << prev_log_domain) // prev_fold_size
+    indices = _stir_indices(transcript, config.final_queries, folded_domain)
+    leaf_values, paths = _open_oracle(prev_encoding, prev_tree, indices,
+                                      prev_fold_size)
+    transcript.hint_bytes(serialize_openings(indices, leaf_values, paths))
+
+    f, w, claim = sumcheck_rounds(f, w, claim, config.final_sumcheck_rounds)
+
+    if config.final_folding_pow_bits > 0:
+        _send_pow(transcript, config.final_folding_pow_bits)
+
+    return ProveOutput(binders=binders, final_coeffs=final_coeffs)

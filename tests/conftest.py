@@ -6,8 +6,20 @@ multi-chip sharding tests use the 8 virtual devices.
 
 import os
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flag = "--xla_force_host_platform_device_count=8"
+if _flag not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " " + _flag).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+# The axon TPU plugin injects itself ahead of JAX_PLATFORMS; force CPU
+# explicitly (tests are hermetic on 8 virtual CPU devices).
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # older JAX: the XLA_FLAGS route above applies
 
 import random
 

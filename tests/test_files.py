@@ -1,0 +1,115 @@
+"""Artifact file-format tests: .nps/.np round-trips, version gates, gnark export."""
+
+import json
+import random
+
+import pytest
+
+from provekit_tpu.acir import model as acir
+from provekit_tpu.compiler import NoirProof, NoirProofScheme
+from provekit_tpu.fields import bn254 as F
+from provekit_tpu.io import files, gnark
+
+
+def small_scheme():
+    w = acir.Witness
+    c = acir.Circuit(opcodes=[
+        acir.AssertZero(acir.Expression(
+            mul_terms=[(1, w(0), w(1))],
+            linear_combinations=[(F.P - 1, w(2))])),
+        acir.BlackBoxRange(acir.FunctionInput(w(0), 4)),
+        acir.MemoryInit(block_id=0, init=[w(3), w(4)]),
+        acir.MemoryOp(0, acir.MemOp(0, acir.Expression.from_witness(w(5)),
+                                    acir.Expression.from_witness(w(6)))),
+    ], return_values=[2])
+    return NoirProofScheme.from_program(
+        acir.Program(functions=[c]), security_level=30, max_pow_bits=6)
+
+
+def test_scheme_roundtrip(tmp_path):
+    scheme = small_scheme()
+    path = tmp_path / "scheme.nps"
+    files.write(path, scheme)
+    back = files.read(path)
+    assert back.r1cs.num_witnesses == scheme.r1cs.num_witnesses
+    assert back.r1cs.num_constraints == scheme.r1cs.num_constraints
+    assert list(back.r1cs.a.iter_entries()) == list(scheme.r1cs.a.iter_entries())
+    assert back.acir_map == scheme.acir_map
+    assert back.witness_builders == scheme.witness_builders
+    assert back.whir_for_witness.m == scheme.whir_for_witness.m
+    # same witness solve through the round-tripped scheme
+    vals = {0: 3, 1: 7, 2: 21, 3: 10, 4: 20, 5: 1, 6: 20}
+    w1 = scheme.solve_witness(vals, rng=random.Random(1))
+    w2 = back.solve_witness(vals, rng=random.Random(1))
+    assert w1 == w2
+
+
+def test_scheme_json_roundtrip(tmp_path):
+    scheme = small_scheme()
+    path = tmp_path / "scheme.json"
+    files.write(path, scheme)
+    back = files.read(path)
+    assert back.witness_builders == scheme.witness_builders
+
+
+def test_proof_roundtrip(tmp_path):
+    proof = NoirProof(transcript=bytes(range(256)))
+    path = tmp_path / "proof.np"
+    files.write(path, proof)
+    assert files.read(path).transcript == proof.transcript
+
+
+def test_bad_magic_and_version(tmp_path):
+    path = tmp_path / "x.np"
+    files.write(path, NoirProof(transcript=b"abc"))
+    blob = bytearray(path.read_bytes())
+    bad = tmp_path / "bad.np"
+    bad.write_bytes(b"XXXXXX" + bytes(blob[6:]))
+    with pytest.raises(ValueError, match="magic"):
+        files.read(bad)
+    blob2 = bytearray(path.read_bytes())
+    blob2[8] = 9  # future major version
+    bad2 = tmp_path / "bad2.np"
+    bad2.write_bytes(bytes(blob2))
+    with pytest.raises(ValueError, match="version"):
+        files.read(bad2)
+
+
+def test_gnark_export(tmp_path):
+    scheme = small_scheme()
+    io_pattern = scheme.whir_for_witness.create_io_pattern().as_bytes()
+    gnark.write_gnark_inputs(
+        scheme.whir_for_witness, scheme.r1cs, b"\x01\x02", io_pattern,
+        tmp_path / "params", tmp_path / "r1cs.json")
+    params = json.loads((tmp_path / "params").read_text())
+    for key in ("whir_config_witness", "whir_config_hiding_spartan",
+                "log_num_constraints", "log_num_variables", "io_pattern",
+                "transcript", "transcript_len"):
+        assert key in params, key
+    assert params["transcript"] == [1, 2]
+    wcfg = params["whir_config_witness"]
+    assert wcfg["batch_size"] == 2
+    assert wcfg["folding_factor"][0] >= 1
+    r1cs_doc = json.loads((tmp_path / "r1cs.json").read_text())
+    assert len(r1cs_doc["a"]["entries"]) == scheme.r1cs.a.nnz
+    assert r1cs_doc["num_witnesses"] == scheme.r1cs.num_witnesses
+
+
+def test_abi_encoding():
+    from provekit_tpu.acir.abi import Abi, input_from_toml
+    abi = Abi.from_json({"parameters": [
+        {"name": "x", "type": {"kind": "field"}},
+        {"name": "arr", "type": {"kind": "array", "length": 3,
+                                 "type": {"kind": "integer", "sign": "unsigned",
+                                          "width": 32}}},
+        {"name": "s", "type": {"kind": "string", "length": 2}},
+        {"name": "st", "type": {"kind": "struct", "path": "T", "fields": [
+            {"name": "a", "type": {"kind": "field"}},
+            {"name": "b", "type": {"kind": "boolean"}}]}},
+    ]})
+    assert abi.field_count() == 1 + 3 + 2 + 2
+    toml = 'x = "0x10"\narr = [1, 2, 3]\ns = "hi"\n[st]\na = 5\nb = true\n'
+    out = input_from_toml(abi, toml)
+    assert out == [16, 1, 2, 3, ord("h"), ord("i"), 5, 1]
+    with pytest.raises(ValueError, match="missing input"):
+        input_from_toml(abi, 'x = 1\n')
