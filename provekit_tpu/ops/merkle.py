@@ -10,6 +10,7 @@ inside ark).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -50,14 +51,23 @@ class MerkleTree:
         return paths
 
 
-@jax.jit
 def hash_leaves(leaves: jax.Array) -> jax.Array:
     """(16, leaf_size, n) -> (16, n) leaf digests (left-fold compress)."""
+    from . import pallas_kernels as PK
     if leaves.shape[1] == 1:
         return leaves[:, 0, :]
+    return _hash_leaves_jit(leaves, PK._pallas_enabled()
+                            and leaves.shape[2] >= 4096
+                            and (leaves.shape[2] & (leaves.shape[2] - 1)) == 0)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _hash_leaves_jit(leaves: jax.Array, use_pallas: bool) -> jax.Array:
+    from . import pallas_kernels as PK
+    cmp = PK.compress_pallas if use_pallas else S.compress_v
 
     def body(i, h):
-        return S.compress_v(h, leaves[:, i, :])
+        return cmp(h, leaves[:, i, :])
 
     return jax.lax.fori_loop(1, leaves.shape[1], body, leaves[:, 0, :])
 
@@ -104,11 +114,12 @@ def commit(leaves: jax.Array) -> MerkleTree:
             digests.append(h)
         host = _host_levels(digests)
         return MerkleTree([V.pack(lv) for lv in host])
+    from . import pallas_kernels as PK
     digests = hash_leaves(leaves)
     levels = [digests]
     while levels[-1].shape[1] > max(1, DEVICE_LEVEL_MIN):
         cur = levels[-1]
-        levels.append(S.compress_v(cur[:, 0::2], cur[:, 1::2]))
+        levels.append(PK.compress_dispatch(cur[:, 0::2], cur[:, 1::2]))
     if levels[-1].shape[1] > 1:
         host = _host_levels(V.unpack(levels[-1]))
         levels.extend(V.pack(lv) for lv in host[1:])

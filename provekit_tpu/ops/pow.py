@@ -86,7 +86,8 @@ def solve(challenge: int, difficulty: float, block: int = BLOCK,
         vals = nonces_np.astype(np.uint64) + np.uint64(offset)  # nonce fits u64
         for i in range(4):
             limbs[i] = ((vals >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(np.uint32)
-        hashes = S.compress_v(ch, jnp.asarray(limbs))
+        from . import pallas_kernels as PK
+        hashes = PK.compress_dispatch(ch, jnp.asarray(limbs))
         mask = np.asarray(_less_than_mask(hashes, thresh))
         if mask.any():
             nonce = offset + int(np.nonzero(mask)[0][0])

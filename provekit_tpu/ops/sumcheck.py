@@ -173,6 +173,175 @@ def eval_cubic(coeffs: list[int], x: int) -> int:
     return acc
 
 
+# --- stacked variants: K polynomials folded in one dispatch ----------------
+
+
+@jax.jit
+def _fold_stacked_msb_dev(x: jax.Array, alpha: jax.Array) -> jax.Array:
+    """(16, K, n) -> (16, K, n/2), binding the MSB variable of each."""
+    n = x.shape[2]
+    lo, hi = x[:, :, :n // 2], x[:, :, n // 2:]
+    ab = jnp.broadcast_to(alpha[:, None, None], lo.shape)
+    return V.add_mod(lo, V.mont_mul(ab, V.sub_mod(hi, lo)))
+
+
+def fold_stacked_msb(x: jax.Array, alpha) -> jax.Array:
+    if x.shape[2] * x.shape[1] <= HOST_TAIL and not _is_traced(x, alpha):
+        k, n = x.shape[1], x.shape[2]
+        a = F.from_mont(V.unpack_scalar(alpha))
+        xs = _host(x.reshape(16, k * n))
+        h = n // 2
+        out = []
+        for j in range(k):
+            row = xs[j * n:(j + 1) * n]
+            out.extend((row[i] + a * (row[i + h] - row[i])) % F.P
+                       for i in range(h))
+        return _dev(out).reshape(16, k, h)
+    return _fold_stacked_msb_dev(x, alpha)
+
+
+@jax.jit
+def _fold_stacked_lsb_dev(x: jax.Array, alpha: jax.Array) -> jax.Array:
+    """(16, K, n) -> (16, K, n/2), binding the LSB variable of each."""
+    ev, od = x[:, :, 0::2], x[:, :, 1::2]
+    ab = jnp.broadcast_to(alpha[:, None, None], ev.shape)
+    return V.add_mod(ev, V.mont_mul(ab, V.sub_mod(od, ev)))
+
+
+def fold_stacked_lsb(x: jax.Array, alpha) -> jax.Array:
+    if x.shape[2] * x.shape[1] <= HOST_TAIL and not _is_traced(x, alpha):
+        k, n = x.shape[1], x.shape[2]
+        a = F.from_mont(V.unpack_scalar(alpha))
+        xs = _host(x.reshape(16, k * n))
+        out = []
+        for j in range(k):
+            row = xs[j * n:(j + 1) * n]
+            out.extend((row[2 * i] + a * (row[2 * i + 1] - row[2 * i])) % F.P
+                       for i in range(n // 2))
+        return _dev(out).reshape(16, k, n // 2)
+    return _fold_stacked_lsb_dev(x, alpha)
+
+
+@jax.jit
+def _spartan_round_stacked_dev(abce: jax.Array):
+    return _spartan_round_dev(abce[:, 0], abce[:, 1], abce[:, 2], abce[:, 3])
+
+
+def spartan_round_stacked(abce: jax.Array):
+    """spartan_round on a stacked (16, 4, n) [a;b;c;eq] array (1 dispatch)."""
+    n = abce.shape[2]
+    if n <= HOST_TAIL and not _is_traced(abce):
+        xs = _host(abce.reshape(16, 4 * n))
+        av, bv, cv, ev = (xs[j * n:(j + 1) * n] for j in range(4))
+        h = n // 2
+        f0 = fm1 = finf = 0
+        for i in range(h):
+            a0, a1 = av[i], av[i + h]
+            b0, b1 = bv[i], bv[i + h]
+            c0, c1 = cv[i], cv[i + h]
+            e0, e1 = ev[i], ev[i + h]
+            f0 += e0 * (a0 * b0 - c0)
+            fm1 += (2 * e0 - e1) * ((2 * a0 - a1) * (2 * b0 - b1) - (2 * c0 - c1))
+            finf += (e1 - e0) * (a1 - a0) * (b1 - b0)
+        return (V.pack_scalar(F.to_mont(f0 % F.P)),
+                V.pack_scalar(F.to_mont(fm1 % F.P)),
+                V.pack_scalar(F.to_mont(finf % F.P)))
+    return _spartan_round_stacked_dev(abce)
+
+
+@jax.jit
+def _whir_round_stacked_dev(fw: jax.Array):
+    return _whir_round_dev(fw[:, 0], fw[:, 1])
+
+
+def whir_round_stacked(fw: jax.Array):
+    """whir_round on a stacked (16, 2, n) [f;w] array (1 dispatch)."""
+    n = fw.shape[2]
+    if n <= HOST_TAIL and not _is_traced(fw):
+        xs = _host(fw.reshape(16, 2 * n))
+        fv, wv = xs[:n], xs[n:]
+        h0 = h1 = h2 = 0
+        for i in range(n // 2):
+            f0, f1 = fv[2 * i], fv[2 * i + 1]
+            w0, w1 = wv[2 * i], wv[2 * i + 1]
+            df, dw = f1 - f0, w1 - w0
+            h0 += f0 * w0
+            h1 += f0 * dw + w0 * df
+            h2 += df * dw
+        return (V.pack_scalar(F.to_mont(h0 % F.P)),
+                V.pack_scalar(F.to_mont(h1 % F.P)),
+                V.pack_scalar(F.to_mont(h2 % F.P)))
+    return _whir_round_stacked_dev(fw)
+
+
+def _pack_point_batch(coords_list: list[list[int]], m: int, extra=None):
+    """-> (rs, omrs [, extra_arr]) stacked as (16, m, P_pad) device arrays."""
+    p = len(coords_list)
+    p_pad = 1 << max(0, (p - 1).bit_length())
+    padded = list(coords_list) + [[0] * m] * (p_pad - p)
+    flat_r, flat_o = [], []
+    for k in range(m):
+        flat_r.extend(F.to_mont(c[k]) for c in padded)
+        flat_o.extend(F.to_mont(F.sub(1, c[k])) for c in padded)
+    rs = V.pack(flat_r).reshape(16, m, p_pad)
+    omrs = V.pack(flat_o).reshape(16, m, p_pad)
+    return rs, omrs, p_pad
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _eq_batch_dev(rs, omrs, start, m: int):
+    """start (16,P,1) -> (16, P, 2^m) tables scaled by start (single jit)."""
+    e = start
+    for k in range(m - 1, -1, -1):
+        lo = V.mont_mul(e, jnp.broadcast_to(omrs[:, k, :, None], e.shape))
+        hi = V.mont_mul(e, jnp.broadcast_to(rs[:, k, :, None], e.shape))
+        e = jnp.concatenate([lo, hi], axis=2)
+    return e
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _eq_combine_dev(rs, omrs, coeffs, m: int):
+    e = _eq_batch_dev(rs, omrs, coeffs[:, :, None], m)
+    while e.shape[1] > 1:
+        h = e.shape[1] // 2
+        e = V.add_mod(e[:, :h], e[:, h:])
+    return e.reshape(16, e.shape[2])
+
+
+def combine_eq_weights(coords_list: list[list[int]], coeffs: list[int],
+                       m: int) -> jax.Array:
+    """sum_i coeffs[i] * eq(coords_i, .) as one (16, 2^m) Montgomery table.
+
+    Batched across points so a WHIR round's weight update is ONE device
+    dispatch instead of O(points * m) — critical over high-latency device
+    transports.  Pads the point batch to a power of two with zero coeffs.
+    """
+    p = len(coords_list)
+    assert p == len(coeffs) and p > 0
+    rs, omrs, p_pad = _pack_point_batch(coords_list, m)
+    cf = V.pack([F.to_mont(c) for c in coeffs] + [0] * (p_pad - p))
+    return _eq_combine_dev(rs, omrs, cf, m)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _eval_batch_dev(rs, omrs, start, evals, m: int):
+    tables = _eq_batch_dev(rs, omrs, start, m)
+    prod = V.mont_mul(tables, evals[:, None, :])
+    return V.sum_mod(prod, axis=2)
+
+
+def eval_multilinear_batch(evals: jax.Array,
+                           coords_list: list[list[int]]) -> list[int]:
+    """MLE evaluations at many points (single device dispatch)."""
+    m = len(coords_list[0])
+    p = len(coords_list)
+    rs, omrs, p_pad = _pack_point_batch(coords_list, m)
+    one = V.broadcast_scalar(jnp.asarray(V.R_LIMBS), (p_pad, 1))
+    sums = _eval_batch_dev(rs, omrs, one, evals, m)
+    vals = V.unpack(sums)
+    return [F.from_mont(v) for v in vals[:p]]
+
+
 # --- LSB-order kernels (WHIR folding order) --------------------------------
 
 

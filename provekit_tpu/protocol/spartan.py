@@ -20,6 +20,8 @@ from __future__ import annotations
 import secrets
 from dataclasses import dataclass
 
+import jax.numpy as jnp
+
 from ..fields import bn254 as F
 from ..fields import vector as V
 from ..ops import sumcheck as sc
@@ -164,8 +166,9 @@ def run_zk_sumcheck_prover(r1cs, z, transcript, m_0: int,
 
     claim = rho * sum_g % F.P
     alphas: list[int] = []
+    abce = jnp.stack([a, b, c, eq], axis=1)  # one dispatch per round
     for idx in range(m_0):
-        f0m, fm1m, finfm = sc.spartan_round(a, b, c, eq)
+        f0m, fm1m, finfm = sc.spartan_round_stacked(abce)
         f0 = F.from_mont(V.unpack_scalar(f0m))
         fm1 = F.from_mont(V.unpack_scalar(fm1m))
         finf = F.from_mont(V.unpack_scalar(finfm))
@@ -182,8 +185,7 @@ def run_zk_sumcheck_prover(r1cs, z, transcript, m_0: int,
         transcript.add_scalars([c0, c1, c2, c3])
         alpha_i = transcript.challenge_scalars(1)[0]
         alphas.append(alpha_i)
-        ab = V.pack_scalar(F.to_mont(alpha_i))
-        a, b, c, eq = (sc.fold(x, ab) for x in (a, b, c, eq))
+        abce = sc.fold_stacked_msb(abce, V.pack_scalar(F.to_mont(alpha_i)))
         claim = eval_cubic([c0, c1, c2, c3], alpha_i)
 
     stmt, f_sum, g_sum = _blinding_statement(

@@ -89,10 +89,13 @@ def commit(transcript, config: WhirConfig, polys: list) -> ProverCommitment:
     ood_points, ood_answers = [], []
     if config.commitment_ood_samples:
         ood_points = transcript.challenge_scalars(config.commitment_ood_samples)
+        coords_list = [univariate_to_multilinear_point(z, m)
+                       for z in ood_points]
+        per_poly = [sc.eval_multilinear_batch(ev, coords_list)
+                    for ev in polys]
         flat = []
-        for z in ood_points:
-            coords = univariate_to_multilinear_point(z, m)
-            answers = [sc.eval_multilinear(ev, coords) for ev in polys]
+        for i in range(len(ood_points)):
+            answers = [per_poly[k][i] for k in range(len(polys))]
             ood_answers.append(answers)
             flat.extend(answers)
         transcript.add_scalars(flat)

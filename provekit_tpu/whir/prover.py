@@ -15,6 +15,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import jax
+import jax.numpy as jnp
 
 from ..fields import bn254 as F
 from ..fields import vector as V
@@ -114,32 +115,33 @@ def prove(transcript, config: WhirConfig, commitment: ProverCommitment,
         claim = (claim + g * v) % F.P
         g = g * chat % F.P
 
-    w = V.zeros((1 << m,))
-    weight_tables = (
-        [sc.eq_table(univariate_to_multilinear_point(z, m))
-         for z in commitment.ood_points]
-        + [wt.table() for wt, _ in statement.constraints])
-    for coeff, table in zip(powers, weight_tables):
+    n_ood = len(commitment.ood_points)
+    if n_ood:
+        ood_coords = [univariate_to_multilinear_point(z, m)
+                      for z in commitment.ood_points]
+        w = sc.combine_eq_weights(ood_coords, powers[:n_ood], m)
+    else:
+        w = V.zeros((1 << m,))
+    for coeff, (wt, _) in zip(powers[n_ood:], statement.constraints):
+        table = wt.table()
         cb = V.broadcast_scalar(V.pack_scalar(F.to_mont(coeff)), table.shape[1:])
         w = V.add_mod(w, V.mont_mul(cb, table))
 
-    f = commitment.combined
+    fw = jnp.stack([commitment.combined, w], axis=1)  # (16, 2, 2^m)
     binders: list[int] = []
 
-    def sumcheck_rounds(f, w, claim, count):
+    def sumcheck_rounds(fw, claim, count):
         for _ in range(count):
-            h0, h1, h2 = sc.whir_round(f, w)
+            h0, h1, h2 = sc.whir_round_stacked(fw)
             coeffs = [F.from_mont(V.unpack_scalar(h)) for h in (h0, h1, h2)]
             transcript.add_scalars(coeffs)
             alpha = transcript.challenge_scalars(1)[0]
             binders.append(alpha)
-            ab = V.pack_scalar(F.to_mont(alpha))
-            f = sc.fold_lsb(f, ab)
-            w = sc.fold_lsb(w, ab)
+            fw = sc.fold_stacked_lsb(fw, V.pack_scalar(F.to_mont(alpha)))
             claim = sc.eval_cubic(coeffs, alpha)
-        return f, w, claim
+        return fw, claim
 
-    f, w, claim = sumcheck_rounds(f, w, claim, iff)
+    fw, claim = sumcheck_rounds(fw, claim, iff)
 
     prev_encoding = commitment.encoding
     prev_tree = commitment.tree
@@ -150,6 +152,7 @@ def prove(transcript, config: WhirConfig, commitment: ProverCommitment,
 
     for r, rc in enumerate(config.rounds):
         # commit f^(r+1)
+        f = fw[:, 0]
         log_dom = config.starting_log_domain - (r + 1)
         coeffs_arr = ntt.coeffs_of_evals(f)
         enc = ntt.rs_encode(coeffs_arr, log_dom)
@@ -162,8 +165,8 @@ def prove(transcript, config: WhirConfig, commitment: ProverCommitment,
         round_values, round_points = [], []
         if rc.ood_samples:
             oods = transcript.challenge_scalars(rc.ood_samples)
-            answers = [sc.eval_multilinear(
-                f, univariate_to_multilinear_point(z, m_cur)) for z in oods]
+            answers = sc.eval_multilinear_batch(
+                f, [univariate_to_multilinear_point(z, m_cur) for z in oods])
             transcript.add_scalars(answers)
             round_values.extend(answers)
             round_points.extend(oods)
@@ -180,26 +183,25 @@ def prove(transcript, config: WhirConfig, commitment: ProverCommitment,
         # fold values = evals of f^(r+1) at y^prev_fold for queried y
         omega_prev = F.root_of_unity(prev_log_domain)
         n_cur = 1 << log_dom
-        for idx in indices:
-            point = pow(omega_prev, prev_fold_size * idx, F.P)
-            enc_idx = (prev_fold_size // 2) * idx % n_cur
-            val = F.from_mont(V.unpack_scalar(enc[:, enc_idx]))
-            round_values.append(val)
-            round_points.append(point)
+        enc_idx = [(prev_fold_size // 2) * idx % n_cur for idx in indices]
+        fold_vals = [F.from_mont(v) for v in V.unpack(enc[:, enc_idx])]
+        round_values.extend(fold_vals)
+        round_points.extend(pow(omega_prev, prev_fold_size * idx, F.P)
+                            for idx in indices)
 
         chat_r = transcript.challenge_scalars(1)[0]
         gpow = 1
-        add_w = V.zeros((1 << m_cur,))
-        for z, v in zip(round_points, round_values):
+        coeffs = []
+        for v in round_values:
             claim = (claim + gpow * v) % F.P
-            table = sc.eq_table(univariate_to_multilinear_point(z, m_cur))
-            cb = V.broadcast_scalar(V.pack_scalar(F.to_mont(gpow)),
-                                    table.shape[1:])
-            add_w = V.add_mod(add_w, V.mont_mul(cb, table))
+            coeffs.append(gpow)
             gpow = gpow * chat_r % F.P
-        w = V.add_mod(w, add_w)
+        coords = [univariate_to_multilinear_point(z, m_cur)
+                  for z in round_points]
+        w_add = sc.combine_eq_weights(coords, coeffs, m_cur)
+        fw = _add_to_w(fw, w_add)
 
-        f, w, claim = sumcheck_rounds(f, w, claim, rc.folding_factor)
+        fw, claim = sumcheck_rounds(fw, claim, rc.folding_factor)
 
         prev_encoding = enc.reshape(16, 1, n_cur)
         prev_tree = tree
@@ -209,7 +211,7 @@ def prove(transcript, config: WhirConfig, commitment: ProverCommitment,
         prev_batch = 1
 
     # --- final phase ------------------------------------------------------
-    final_coeffs_arr = ntt.coeffs_of_evals(f)
+    final_coeffs_arr = ntt.coeffs_of_evals(fw[:, 0])
     final_coeffs = [F.from_mont(v) for v in V.unpack(final_coeffs_arr)]
     transcript.add_scalars(final_coeffs)
 
@@ -222,9 +224,18 @@ def prove(transcript, config: WhirConfig, commitment: ProverCommitment,
                                       prev_fold_size)
     transcript.hint_bytes(serialize_openings(indices, leaf_values, paths))
 
-    f, w, claim = sumcheck_rounds(f, w, claim, config.final_sumcheck_rounds)
+    fw, claim = sumcheck_rounds(fw, claim, config.final_sumcheck_rounds)
 
     if config.final_folding_pow_bits > 0:
         _send_pow(transcript, config.final_folding_pow_bits)
 
     return ProveOutput(binders=binders, final_coeffs=final_coeffs)
+
+
+@jax.jit
+def _add_to_w(fw: jax.Array, w_add: jax.Array) -> jax.Array:
+    """fw (16,2,n): add w_add (16,n) to the weight half in one dispatch."""
+    import jax.numpy as _jnp
+    from ..fields import vector as _V
+    new_w = _V.add_mod(fw[:, 1], w_add)
+    return _jnp.stack([fw[:, 0], new_w], axis=1)
