@@ -52,6 +52,10 @@ def main():
     scheme.whir_for_witness.verify(r1cs, proof)
     verify_s = time.perf_counter() - t0
 
+    if os.environ.get("BENCH_SPANS"):
+        from provekit_tpu.utils.profiling import GLOBAL
+        print(GLOBAL.report(), file=sys.stderr)
+
     cps = r1cs.num_constraints / prove_s
     import jax
     print(json.dumps({
@@ -74,3 +78,5 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+# (span report printed to stderr when BENCH_SPANS=1)

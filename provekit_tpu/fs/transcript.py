@@ -128,6 +128,18 @@ class ProverState:
         self.checker.finish()
         return bytes(self.narg)
 
+    def sponge_state_array(self):
+        """Current sponge state as a (16, 2) canonical device array.
+
+        Only valid right after a squeeze (absorb_pos == 0), which is where
+        every fused sumcheck segment starts; the device kernel continues the
+        duplex pattern from here (see ops/fused.py).
+        """
+        assert self.sponge.absorb_pos == 0 and self.sponge.squeeze_pos == 1, (
+            self.sponge.absorb_pos, self.sponge.squeeze_pos)
+        from ..fields import vector as V
+        return V.pack(self.sponge.state).reshape(16, 2)
+
 
 class VerifierState:
     def __init__(self, domsep: DomainSeparator, transcript: bytes):

@@ -1,0 +1,214 @@
+"""Fused sumcheck segments with an on-device Fiat-Shamir sponge.
+
+The sumcheck is round-sequential: each round's challenge comes from the
+sponge after absorbing that round's coefficients, so dispatching one device
+call per round costs a transport round-trip each — the dominant cost on
+remote/tunneled devices.  These kernels run ALL rounds of a segment in one
+dispatch:
+
+* the duplex sponge (Skyscraper, N=2 R=1) advances on device between the
+  vectorized round computations (a fori_loop ladder with a bar/square
+  select), exactly mirroring the host sponge;
+* the round loop is itself a ``fori_loop`` with STATIC shapes: arrays keep
+  their full length and the active prefix is tracked with masks (a round at
+  active size s does n/2 masked pair-ops — at most ~2x the compact work,
+  negligible on-device);
+* the host replays the returned coefficients through its own transcript
+  (cheap) and lands on the identical sponge state.
+
+Every segment starts right after a squeeze (absorb_pos == 0), so the
+absorb/squeeze pattern is static.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..fields import bn254 as F
+from ..fields import vector as V
+from ..hash import skyscraper as S
+from . import sumcheck as sc
+
+
+def _permute_state(state: jax.Array) -> jax.Array:
+    """Duplex permute of a (16, 2) canonical state (fori ladder + select)."""
+    rc = jnp.asarray(S._RC_LIMBS)  # (18, 16)
+
+    def body(k, st):
+        l, r = st[:, :1], st[:, 1:]
+        f_sq = V.mont_mul(l, l)
+        f_bar = S._bar_v.__wrapped__(l)
+        is_bar = (k == 6) | (k == 7) | (k == 10) | (k == 11)
+        f = jnp.where(is_bar, f_bar, f_sq)
+        nl = V.add_mod(V.add_mod(r, f), rc[k][:, None])
+        return jnp.concatenate([nl, l], axis=1)
+
+    return jax.lax.fori_loop(0, 18, body, state)
+
+
+def _absorb_seq(state: jax.Array, units: list) -> jax.Array:
+    """Absorb canonical (16,1) units starting at absorb_pos == 0."""
+    for i, u in enumerate(units):
+        if i > 0:
+            state = _permute_state(state)
+        state = jnp.concatenate([u, state[:, 1:]], axis=1)
+    return state
+
+
+def _squeeze1(state: jax.Array):
+    state = _permute_state(state)
+    return state, state[:, :1]
+
+
+def _from_mont1(x: jax.Array) -> jax.Array:
+    return V.mont_mul(x, jnp.asarray(V.ONE_LIMBS).reshape(16, 1))
+
+
+def _to_mont1(x: jax.Array) -> jax.Array:
+    return V.mont_mul(x, jnp.asarray(V.R2_LIMBS).reshape(16, 1))
+
+
+def _mm(a, b):
+    return V.mont_mul(a, b)
+
+
+def _eval_poly_mont(coeffs: list, x: jax.Array) -> jax.Array:
+    acc = coeffs[-1]
+    for c in reversed(coeffs[:-1]):
+        acc = V.add_mod(_mm(acc, x), c)
+    return acc
+
+
+def _masked_sum(x: jax.Array, active_pairs: jax.Array) -> jax.Array:
+    """Modular sum over the first `active_pairs` lanes of (16, h)."""
+    h = x.shape[1]
+    idx = jnp.arange(h)
+    x = jnp.where((idx < active_pairs)[None, :], x, 0)
+    return V.sum_mod(x)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def whir_sumcheck_segment(fw: jax.Array, state: jax.Array, count: int):
+    """count WHIR rounds in one dispatch.
+
+    fw (16, 2, n) Montgomery; state (16, 2) canonical sponge.
+    Returns (fw_folded (16,2,n) with the result in the leading n/2^count
+    entries, state', coeffs (16, count, 3) canonical).
+    """
+    n = fw.shape[2]
+    h = n // 2
+
+    def body(j, carry):
+        fw, state, coeffs = carry
+        active = jnp.int32(n) >> j          # current length
+        ap = active >> 1                    # active pairs
+        f0, w0 = fw[:, 0, 0::2], fw[:, 1, 0::2]
+        f1, w1 = fw[:, 0, 1::2], fw[:, 1, 1::2]
+        df, dw = V.sub_mod(f1, f0), V.sub_mod(w1, w0)
+        h0 = _masked_sum(_mm(f0, w0), ap).reshape(16, 1)
+        h1 = _masked_sum(V.add_mod(_mm(f0, dw), _mm(w0, df)), ap).reshape(16, 1)
+        h2 = _masked_sum(_mm(df, dw), ap).reshape(16, 1)
+
+        hc = [_from_mont1(x) for x in (h0, h1, h2)]
+        coeffs = jax.lax.dynamic_update_slice(
+            coeffs, jnp.stack(hc, axis=2).reshape(16, 1, 3), (0, j, 0))
+        state = _absorb_seq(state, hc)
+        state, alpha_c = _squeeze1(state)
+        alpha_m = _to_mont1(alpha_c)
+
+        ab = jnp.broadcast_to(alpha_m[:, None, :], (16, 2, h))
+        ev = fw[:, :, 0::2]
+        od = fw[:, :, 1::2]
+        folded = V.add_mod(ev, V.mont_mul(ab, V.sub_mod(od, ev)))
+        fw = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=2)
+        return fw, state, coeffs
+
+    coeffs0 = jnp.zeros((16, count, 3), dtype=V.U32)
+    fw, state, coeffs = jax.lax.fori_loop(0, count, body, (fw, state, coeffs0))
+    return fw, state, coeffs
+
+
+@functools.partial(jax.jit, static_argnums=(8,))
+def spartan_sumcheck_fused(abce: jax.Array, state: jax.Array,
+                           claim0: jax.Array, rho: jax.Array,
+                           g_coeffs: jax.Array, pms: jax.Array,
+                           sms: jax.Array, suffix: jax.Array, m_0: int):
+    """All m_0 ZK-Spartan rounds in one dispatch.
+
+    abce: (16, 4, 2^m_0) Montgomery [Az; Bz; Cz; eq] — MSB pairing.
+    state: (16, 2) canonical sponge (right after the rho squeeze).
+    claim0, rho: (16, 1) Montgomery.
+    g_coeffs: (16, m_0, 4); pms/sms/suffix: (16, m_0) Montgomery (see
+    protocol.spartan for their definitions).
+    Returns (state', coeffs (16, m_0, 4) canonical).
+    """
+    n = abce.shape[2]
+    h = n // 2
+    half_c = jnp.asarray(V._const_limbs(F.to_mont(F.HALF))).reshape(16, 1)
+
+    def body(idx, carry):
+        abce, state, coeffs, claim, prefix = carry
+        active = jnp.int32(n) >> idx
+        ap = active >> 1
+        lo = abce[:, :, :h]
+        # pair (i, i + active/2): hi[i] = abce[ap + i]; ap + h <= n always
+        hi = jax.lax.dynamic_slice_in_dim(abce, ap, h, axis=2)
+        a0, b0, c0v, e0 = lo[:, 0], lo[:, 1], lo[:, 2], lo[:, 3]
+        a1, b1, c1v, e1 = hi[:, 0], hi[:, 1], hi[:, 2], hi[:, 3]
+
+        def dbl_sub(x0, x1):
+            return V.sub_mod(V.add_mod(x0, x0), x1)
+
+        f0v = _mm(e0, V.sub_mod(_mm(a0, b0), c0v))
+        fm1v = _mm(dbl_sub(e0, e1),
+                   V.sub_mod(_mm(dbl_sub(a0, a1), dbl_sub(b0, b1)),
+                             dbl_sub(c0v, c1v)))
+        finfv = _mm(V.sub_mod(e1, e0), _mm(V.sub_mod(a1, a0),
+                                           V.sub_mod(b1, b0)))
+        f0 = _masked_sum(f0v, ap).reshape(16, 1)
+        fm1 = _masked_sum(fm1v, ap).reshape(16, 1)
+        finf = _masked_sum(finfv, ap).reshape(16, 1)
+
+        g = [jax.lax.dynamic_slice(g_coeffs, (0, idx, k), (16, 1, 1)
+                                   ).reshape(16, 1) for k in range(4)]
+        pm = jax.lax.dynamic_slice_in_dim(pms, idx, 1, axis=1)
+        sm = jax.lax.dynamic_slice_in_dim(sms, idx, 1, axis=1)
+        sfx = jax.lax.dynamic_slice_in_dim(suffix, idx, 1, axis=1)
+
+        const_term = V.add_mod(_mm(pm, prefix), _mm(sm, sfx))
+        gp0 = V.add_mod(_mm(pm, g[0]), const_term)
+        gp1, gp2, gp3 = (_mm(pm, g[k]) for k in (1, 2, 3))
+
+        cc0 = V.add_mod(f0, _mm(rho, gp0))
+        g_at_m1 = V.sub_mod(V.add_mod(gp0, gp2), V.add_mod(gp1, gp3))
+        comb_m1 = V.add_mod(fm1, _mm(rho, g_at_m1))
+        three_c0 = V.add_mod(V.add_mod(cc0, cc0), cc0)
+        cc2 = _mm(half_c, V.sub_mod(V.add_mod(claim, comb_m1), three_c0))
+        cc3 = V.add_mod(finf, _mm(rho, gp3))
+        cc1 = V.sub_mod(V.sub_mod(claim, V.add_mod(cc0, cc0)),
+                        V.add_mod(cc3, cc2))
+
+        cs = [cc0, cc1, cc2, cc3]
+        cs_canon = [_from_mont1(c) for c in cs]
+        coeffs = jax.lax.dynamic_update_slice(
+            coeffs, jnp.stack(cs_canon, axis=2).reshape(16, 1, 4), (0, idx, 0))
+        state = _absorb_seq(state, cs_canon)
+        state, alpha_c = _squeeze1(state)
+        alpha_m = _to_mont1(alpha_c)
+
+        claim = _eval_poly_mont(cs, alpha_m)
+        prefix = V.add_mod(prefix, _eval_poly_mont(g, alpha_m))
+
+        ab = jnp.broadcast_to(alpha_m[:, None, :], (16, 4, h))
+        folded = V.add_mod(lo, V.mont_mul(ab, V.sub_mod(hi, lo)))
+        abce = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=2)
+        return abce, state, coeffs, claim, prefix
+
+    coeffs0 = jnp.zeros((16, m_0, 4), dtype=V.U32)
+    prefix0 = V.zeros((1,))
+    _, state, coeffs, _, _ = jax.lax.fori_loop(
+        0, m_0, body, (abce, state, coeffs0, claim0, prefix0))
+    return state, coeffs

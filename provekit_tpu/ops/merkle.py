@@ -38,17 +38,25 @@ class MerkleTree:
         return V.unpack_scalar(self.levels[-1][:, 0])
 
     def open(self, indices: list[int]) -> list[list[int]]:
-        """Auth path per index: sibling digests bottom-up (host ints)."""
-        paths = []
-        for idx in indices:
-            path = []
-            i = idx
-            for level in self.levels[:-1]:
-                sib = i ^ 1
-                path.append(V.unpack_scalar(level[:, sib]))
-                i >>= 1
-            paths.append(path)
-        return paths
+        """Auth path per index: sibling digests bottom-up (host ints).
+
+        All sibling digests are gathered into ONE device array and fetched
+        with a single transfer (per-scalar fetches cost a transport
+        round-trip each on remote devices).
+        """
+        depth = self.depth
+        if not indices or depth == 0:
+            return [[] for _ in indices]
+        gathered = []
+        cur = list(indices)
+        for level in self.levels[:-1]:
+            sibs = jnp.asarray([i ^ 1 for i in cur], dtype=jnp.int32)
+            gathered.append(level[:, sibs])
+            cur = [i >> 1 for i in cur]
+        flat = V.unpack(jnp.concatenate(gathered, axis=1))
+        q = len(indices)
+        return [[flat[d * q + j] for d in range(depth)]
+                for j in range(q)]
 
 
 def hash_leaves(leaves: jax.Array) -> jax.Array:

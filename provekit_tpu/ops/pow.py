@@ -63,31 +63,46 @@ def verify(challenge: int, difficulty: float, nonce: int) -> bool:
     return S.compress(challenge, nonce) < threshold(difficulty)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _nonce_limbs(block: int, offset: int) -> jax.Array:
+    """Limb planes for nonces [offset, offset+block) — cached on device
+    (the offset-0 block is reused across every grind of a proof)."""
+    nonces = np.arange(block, dtype=np.uint64) + np.uint64(offset)
+    limbs = np.zeros((16, block), dtype=np.uint32)
+    for i in range(4):
+        limbs[i] = ((nonces >> np.uint64(16 * i))
+                    & np.uint64(0xFFFF)).astype(np.uint32)
+    return jnp.asarray(limbs)
+
+
 def _less_than_mask(a: jax.Array, bound: int) -> jax.Array:
     bl = [jnp.uint32((bound >> (16 * i)) & 0xFFFF) for i in range(16)]
     _, borrow = V._sub_bb(V._as_limb_list(a), bl)
     return borrow == 1
 
 
-def solve(challenge: int, difficulty: float, block: int = BLOCK,
+def solve(challenge: int, difficulty: float, block: int | None = None,
           max_blocks: int = 1 << 14) -> int:
-    """Find the smallest-in-block nonce satisfying the PoW condition."""
+    """Find the smallest-in-block nonce satisfying the PoW condition.
+
+    The block is sized to ~4x the expected number of tries (rounded to a
+    power of two) so the grind usually completes in ONE device dispatch —
+    per-dispatch transport latency dominates the hash compute.
+    """
     if difficulty == 0.0:
         return 0
+    if block is None:
+        expect = 1 << min(26, max(12, int(difficulty) + 2))
+        block = expect
     thresh = threshold(difficulty + PROVER_BIAS)
     ch = V.broadcast_scalar(V.pack_scalar(challenge), (block,))
-    nonces_np = np.arange(block, dtype=np.uint32)
-    base_limbs = np.zeros((16, block), dtype=np.uint32)
-    base_limbs[0] = nonces_np & 0xFFFF
-    base_limbs[1] = nonces_np >> 16
     for blk in range(max_blocks):
         offset = blk * block
-        limbs = base_limbs.copy()
-        vals = nonces_np.astype(np.uint64) + np.uint64(offset)  # nonce fits u64
-        for i in range(4):
-            limbs[i] = ((vals >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(np.uint32)
         from . import pallas_kernels as PK
-        hashes = PK.compress_dispatch(ch, jnp.asarray(limbs))
+        hashes = PK.compress_dispatch(ch, _nonce_limbs(block, offset))
         mask = np.asarray(_less_than_mask(hashes, thresh))
         if mask.any():
             nonce = offset + int(np.nonzero(mask)[0][0])

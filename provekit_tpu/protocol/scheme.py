@@ -89,39 +89,44 @@ class WhirR1CSScheme:
         assert r1cs.num_witnesses <= 1 << self.m
         assert r1cs.num_constraints <= 1 << self.m_0
 
+        from ..utils.profiling import span
         io = self.create_io_pattern()
         tr = io.to_prover_state()
 
-        padded = list(witness) + [0] * ((1 << (self.m - 1)) - len(witness))
-        com, masked, rand_poly = spartan.batch_commit_to_polynomial(
-            self.m, self.whir_witness, padded, tr, rng)
+        with span("commit_witness"):
+            padded = list(witness) + [0] * ((1 << (self.m - 1)) - len(witness))
+            com, masked, rand_poly = spartan.batch_commit_to_polynomial(
+                self.m, self.whir_witness, padded, tr, rng)
 
-        z = V.pack([F.to_mont(v) for v in witness])
-        out = spartan.run_zk_sumcheck_prover(
-            r1cs, z, tr, self.m_0, self.whir_for_hiding_spartan, rng)
+        with span("zk_spartan_sumcheck"):
+            z = V.pack([F.to_mont(v) for v in witness])
+            out = spartan.run_zk_sumcheck_prover(
+                r1cs, z, tr, self.m_0, self.whir_for_hiding_spartan, rng)
 
         # weights: eq_alpha^T A, B, C over witness columns
-        eq_alpha = sc.eq_table(out.alpha)[:, :r1cs.num_constraints]
-        statement = Statement(self.m)
-        f_sums, g_sums = [], []
-        masked_arr = com.polys[0]
-        rand_arr = com.polys[1]
-        for mat in (r1cs.a, r1cs.b, r1cs.c):
-            row = mat.mul_left(eq_alpha)  # (16, num_witnesses) Montgomery
-            pad_to = 1 << self.m
-            row_p = jnp.pad(row, [(0, 0), (0, pad_to - row.shape[1])])
-            w = DenseWeights(row_p, self.m)
-            f = w.weighted_sum(masked_arr)
-            g = w.weighted_sum(rand_arr)
-            f_sums.append(f)
-            g_sums.append(g)
-            statement.add_constraint(
-                w, (f + com.batching_randomness * g) % F.P)
+        with span("statement_weights"):
+            eq_alpha = sc.eq_table(out.alpha)[:, :r1cs.num_constraints]
+            statement = Statement(self.m)
+            f_sums, g_sums = [], []
+            masked_arr = com.polys[0]
+            rand_arr = com.polys[1]
+            for mat in (r1cs.a, r1cs.b, r1cs.c):
+                row = mat.mul_left(eq_alpha)  # (16, num_witnesses) Montgomery
+                pad_to = 1 << self.m
+                row_p = jnp.pad(row, [(0, 0), (0, pad_to - row.shape[1])])
+                w = DenseWeights(row_p, self.m)
+                f = w.weighted_sum(masked_arr)
+                g = w.weighted_sum(rand_arr)
+                f_sums.append(f)
+                g_sums.append(g)
+                statement.add_constraint(
+                    w, (f + com.batching_randomness * g) % F.P)
 
         hint = b"".join(F.to_bytes_le(v) for v in f_sums + g_sums)
         tr.hint_bytes(hint)
 
-        prover.prove(tr, self.whir_witness, com, statement)
+        with span("whir_open_witness"):
+            prover.prove(tr, self.whir_witness, com, statement)
         return tr.narg_string()
 
     # -- verify ------------------------------------------------------------

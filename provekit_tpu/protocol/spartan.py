@@ -167,6 +167,42 @@ def run_zk_sumcheck_prover(r1cs, z, transcript, m_0: int,
     claim = rho * sum_g % F.P
     alphas: list[int] = []
     abce = jnp.stack([a, b, c, eq], axis=1)  # one dispatch per round
+
+    if n > sc.HOST_TAIL:
+        # fused: all m_0 rounds + sponge advance in one device dispatch
+        from ..ops import fused
+        st = transcript.sponge_state_array()
+        pms = [pow(2, m_0 - 1 - i, F.P) for i in range(m_0)]
+        sms = [p * F.HALF % F.P for p in pms]
+        sfx = []
+        for i in range(m_0):
+            s = 0
+            for g in g_cubics[i + 1:]:
+                s += eval_cubic(g, 0) + eval_cubic(g, 1)
+            sfx.append(s % F.P)
+        g_arr = V.pack([F.to_mont(x) for g in g_cubics for x in g]
+                       ).reshape(16, m_0, 4)
+        state2, coeffs_arr = fused.spartan_sumcheck_fused(
+            abce, st, V.pack([F.to_mont(claim)]),
+            V.pack([F.to_mont(rho)]),
+            g_arr,
+            V.pack([F.to_mont(p) for p in pms]),
+            V.pack([F.to_mont(s) for s in sms]),
+            V.pack([F.to_mont(s) for s in sfx]), m_0)
+        vals = V.unpack(coeffs_arr.reshape(16, m_0 * 4))
+        for i in range(m_0):
+            cs = vals[4 * i:4 * i + 4]
+            assert (2 * cs[0] + cs[1] + cs[2] + cs[3]) % F.P == claim
+            transcript.add_scalars(cs)
+            alpha_i = transcript.challenge_scalars(1)[0]
+            alphas.append(alpha_i)
+            claim = eval_cubic(cs, alpha_i)
+        stmt, f_sum, g_sum = _blinding_statement(
+            m_commit, alphas, masked, rand_poly, com)
+        transcript.add_scalars([f_sum, g_sum])
+        prover.prove(transcript, blinding_config, com, stmt)
+        return SpartanProverOutput(r=r, alpha=alphas)
+
     for idx in range(m_0):
         f0m, fm1m, finfm = sc.spartan_round_stacked(abce)
         f0 = F.from_mont(V.unpack_scalar(f0m))

@@ -66,23 +66,26 @@ def commit_pattern(ds, config: WhirConfig, label: str = "") -> None:
 
 def commit(transcript, config: WhirConfig, polys: list) -> ProverCommitment:
     """Commit a batch of multilinear polys given by hypercube evaluations."""
+    from ..utils.profiling import span
     assert len(polys) == config.batch_size
     m = config.num_variables
     fold_size = 1 << config.initial_folding_factor
 
-    encs = []
-    for evals in polys:
-        assert evals.shape == (16, 1 << m)
-        coeffs = ntt.coeffs_of_evals(evals)
-        encs.append(ntt.rs_encode(coeffs, config.starting_log_domain))
-    encoding = jnp.stack(encs, axis=1)  # (16, k, N)
+    with span(f"rs_encode_m{m}"):
+        encs = []
+        for evals in polys:
+            assert evals.shape == (16, 1 << m)
+            coeffs = ntt.coeffs_of_evals(evals)
+            encs.append(ntt.rs_encode(coeffs, config.starting_log_domain))
+        encoding = jnp.stack(encs, axis=1)  # (16, k, N)
 
     n = encoding.shape[2]
     # leaf j element (i, t) = enc_i[j + t*N/fold]
     leaves = encoding.reshape(16, len(polys), fold_size, n // fold_size)
     leaves = leaves.reshape(16, len(polys) * fold_size, n // fold_size)
     # Skyscraper hashes canonical values (reference whir.rs:20-26 into_bigint)
-    tree = merkle.commit(V.from_mont(leaves))
+    with span(f"merkle_m{m}"):
+        tree = merkle.commit(V.from_mont(leaves))
     root = tree.root()
     transcript.add_scalars([root])
 

@@ -131,6 +131,24 @@ def prove(transcript, config: WhirConfig, commitment: ProverCommitment,
     binders: list[int] = []
 
     def sumcheck_rounds(fw, claim, count):
+        if count == 0:
+            return fw, claim
+        if fw.shape[2] > sc.HOST_TAIL:
+            # fused: all rounds + the sponge advance in ONE device dispatch;
+            # the host replays the coefficients to stay authoritative.
+            from ..ops import fused
+            st = transcript.sponge_state_array()
+            n_in = fw.shape[2]
+            fw_full, _, coeffs_arr = fused.whir_sumcheck_segment(fw, st, count)
+            fw = fw_full[:, :, :n_in >> count]
+            vals = V.unpack(coeffs_arr.reshape(16, count * 3))
+            for i in range(count):
+                coeffs = vals[3 * i:3 * i + 3]
+                transcript.add_scalars(coeffs)
+                alpha = transcript.challenge_scalars(1)[0]
+                binders.append(alpha)
+                claim = sc.eval_cubic(coeffs, alpha)
+            return fw, claim
         for _ in range(count):
             h0, h1, h2 = sc.whir_round_stacked(fw)
             coeffs = [F.from_mont(V.unpack_scalar(h)) for h in (h0, h1, h2)]
@@ -141,7 +159,9 @@ def prove(transcript, config: WhirConfig, commitment: ProverCommitment,
             claim = sc.eval_cubic(coeffs, alpha)
         return fw, claim
 
-    fw, claim = sumcheck_rounds(fw, claim, iff)
+    from ..utils.profiling import span
+    with span("initial_sumcheck"):
+        fw, claim = sumcheck_rounds(fw, claim, iff)
 
     prev_encoding = commitment.encoding
     prev_tree = commitment.tree
@@ -151,15 +171,17 @@ def prove(transcript, config: WhirConfig, commitment: ProverCommitment,
     prev_batch = config.batch_size
 
     for r, rc in enumerate(config.rounds):
+        from ..utils.profiling import span
         # commit f^(r+1)
-        f = fw[:, 0]
-        log_dom = config.starting_log_domain - (r + 1)
-        coeffs_arr = ntt.coeffs_of_evals(f)
-        enc = ntt.rs_encode(coeffs_arr, log_dom)
-        rfold = 1 << rc.folding_factor
-        leaves = fold_leaves_view(enc, rfold)
-        tree = merkle.commit(V.from_mont(leaves))
-        transcript.add_scalars([tree.root()])
+        with span(f"round{r}_commit"):
+            f = fw[:, 0]
+            log_dom = config.starting_log_domain - (r + 1)
+            coeffs_arr = ntt.coeffs_of_evals(f)
+            enc = ntt.rs_encode(coeffs_arr, log_dom)
+            rfold = 1 << rc.folding_factor
+            leaves = fold_leaves_view(enc, rfold)
+            tree = merkle.commit(V.from_mont(leaves))
+            transcript.add_scalars([tree.root()])
 
         m_cur = m - iff - rc.folding_factor * r
         round_values, round_points = [], []
@@ -172,13 +194,16 @@ def prove(transcript, config: WhirConfig, commitment: ProverCommitment,
             round_points.extend(oods)
 
         if rc.pow_bits > 0:
-            _send_pow(transcript, rc.pow_bits)
+            with span(f"round{r}_pow"):
+                _send_pow(transcript, rc.pow_bits)
 
         folded_domain = (1 << prev_log_domain) // prev_fold_size
         indices = _stir_indices(transcript, rc.num_queries, folded_domain)
-        leaf_values, paths = _open_oracle(prev_encoding, prev_tree, indices,
-                                          prev_fold_size)
-        transcript.hint_bytes(serialize_openings(indices, leaf_values, paths))
+        with span(f"round{r}_open"):
+            leaf_values, paths = _open_oracle(prev_encoding, prev_tree,
+                                              indices, prev_fold_size)
+            transcript.hint_bytes(
+                serialize_openings(indices, leaf_values, paths))
 
         # fold values = evals of f^(r+1) at y^prev_fold for queried y
         omega_prev = F.root_of_unity(prev_log_domain)
@@ -198,10 +223,12 @@ def prove(transcript, config: WhirConfig, commitment: ProverCommitment,
             gpow = gpow * chat_r % F.P
         coords = [univariate_to_multilinear_point(z, m_cur)
                   for z in round_points]
-        w_add = sc.combine_eq_weights(coords, coeffs, m_cur)
-        fw = _add_to_w(fw, w_add)
+        with span(f"round{r}_weights"):
+            w_add = sc.combine_eq_weights(coords, coeffs, m_cur)
+            fw = _add_to_w(fw, w_add)
 
-        fw, claim = sumcheck_rounds(fw, claim, rc.folding_factor)
+        with span(f"round{r}_sumcheck"):
+            fw, claim = sumcheck_rounds(fw, claim, rc.folding_factor)
 
         prev_encoding = enc.reshape(16, 1, n_cur)
         prev_tree = tree
