@@ -65,8 +65,45 @@ class AssertZero:
 
 
 @dataclass
+class BrilligInputSingle:
+    expr: Expression
+
+
+@dataclass
+class BrilligInputArray:
+    exprs: list  # [Expression]
+
+
+@dataclass
+class BrilligInputMemoryArray:
+    block_id: int
+
+
+BrilligInput = Union[BrilligInputSingle, BrilligInputArray,
+                     BrilligInputMemoryArray]
+
+
+@dataclass
+class BrilligOutputSimple:
+    witness: Witness
+
+
+@dataclass
+class BrilligOutputArray:
+    witnesses: list  # [Witness]
+
+
+BrilligOutput = Union[BrilligOutputSimple, BrilligOutputArray]
+
+
+@dataclass
 class BrilligCall:
-    """Unconstrained function call — witness generation only."""
+    """Unconstrained function call — witness generation only.
+
+    ``inputs``/``outputs`` are typed (``BrilligInput*``/``BrilligOutput*``)
+    when built by the parser or the executor's callers; raw docs are
+    tolerated by the compiler (which emits no constraints for this opcode).
+    """
     id: int
     inputs: list = field(default_factory=list)
     outputs: list = field(default_factory=list)

@@ -20,6 +20,7 @@ import json
 import struct
 from pathlib import Path
 
+from . import brillig
 from . import model as acir
 from .abi import Abi
 
@@ -181,6 +182,26 @@ def _blackbox(payload) -> acir.Opcode:
     return acir.BlackBoxUnsupported(kind, body)
 
 
+def _brillig_input(doc):
+    kind, payload = _variant(doc)
+    if kind == "Single":
+        return acir.BrilligInputSingle(_expression(payload))
+    if kind == "Array":
+        return acir.BrilligInputArray([_expression(e) for e in payload])
+    if kind == "MemoryArray":
+        return acir.BrilligInputMemoryArray(_block_id(payload))
+    raise AcirParseError(f"unknown BrilligInputs variant {kind}")
+
+
+def _brillig_output(doc):
+    kind, payload = _variant(doc)
+    if kind == "Simple":
+        return acir.BrilligOutputSimple(_witness(payload))
+    if kind == "Array":
+        return acir.BrilligOutputArray([_witness(w) for w in payload])
+    raise AcirParseError(f"unknown BrilligOutputs variant {kind}")
+
+
 def _opcode(doc) -> acir.Opcode:
     kind, payload = _variant(doc)
     if kind == "AssertZero":
@@ -188,8 +209,10 @@ def _opcode(doc) -> acir.Opcode:
     if kind == "BrilligCall":
         return acir.BrilligCall(
             id=payload.get("id", 0),
-            inputs=payload.get("inputs", []),
-            outputs=payload.get("outputs", []))
+            inputs=[_brillig_input(i) for i in payload.get("inputs", [])],
+            outputs=[_brillig_output(o) for o in payload.get("outputs", [])],
+            predicate=None if payload.get("predicate") is None
+            else _expression(payload["predicate"]))
     if kind == "MemoryInit":
         bt, _ = _variant(payload.get("block_type", "Memory"))
         return acir.MemoryInit(
@@ -245,10 +268,158 @@ def _circuit(doc) -> acir.Circuit:
         current_witness_index=doc.get("current_witness_index", 0))
 
 
+# ---------------------------------------------------------------------------
+# Brillig bytecode decoding (unconstrained functions)
+
+
+_INT_BITS = {"U0": 0, "U1": 1, "U8": 8, "U16": 16, "U32": 32, "U64": 64,
+             "U128": 128}
+
+
+def _brillig_addr(doc) -> brillig.MemoryAddress:
+    if isinstance(doc, int):  # pre-relative-addressing era
+        return brillig.MemoryAddress.direct(doc)
+    kind, payload = _variant(doc)
+    if kind == "Direct":
+        return brillig.MemoryAddress.direct(payload)
+    if kind == "Relative":
+        return brillig.MemoryAddress(payload, relative=True)
+    raise AcirParseError(f"unknown MemoryAddress {doc!r}")
+
+
+def _bit_size(doc):
+    """BitSize: "Field" | {"Integer": "U32"}; or bare "U32" (IntegerBitSize)."""
+    if isinstance(doc, str):
+        if doc == "Field":
+            return brillig.FIELD
+        if doc in _INT_BITS:
+            return _INT_BITS[doc]
+        raise AcirParseError(f"unknown bit size {doc!r}")
+    kind, payload = _variant(doc)
+    if kind == "Integer":
+        return _INT_BITS[payload]
+    raise AcirParseError(f"unknown BitSize {doc!r}")
+
+
+def _int_bits(doc) -> int:
+    bs = _bit_size(doc)
+    if bs == brillig.FIELD:
+        raise AcirParseError("integer bit size expected, got Field")
+    return bs
+
+
+def _heap_vector(doc) -> brillig.HeapVector:
+    return brillig.HeapVector(pointer=_brillig_addr(doc["pointer"]),
+                              size=_brillig_addr(doc["size"]))
+
+
+def _value_or_array(doc):
+    kind, payload = _variant(doc)
+    if kind == "MemoryAddress":
+        return _brillig_addr(payload)
+    if kind == "HeapArray":
+        return brillig.HeapArray(pointer=_brillig_addr(payload["pointer"]),
+                                 size=payload["size"])
+    if kind == "HeapVector":
+        return _heap_vector(payload)
+    raise AcirParseError(f"unknown ValueOrArray {doc!r}")
+
+
+def _brillig_blackbox(payload):
+    kind, body = _variant(payload)
+    if kind == "ToRadix":
+        return brillig.ToRadix(
+            input=_brillig_addr(body["input"]),
+            radix=_brillig_addr(body["radix"]),
+            output_pointer=_brillig_addr(body["output_pointer"]),
+            num_limbs=body["num_limbs"],
+            output_bits=bool(body.get("output_bits", False)))
+    return brillig.BlackBoxOther(kind, body)
+
+
+def _brillig_opcode(doc):
+    kind, p = _variant(doc)
+    B = brillig
+    if kind == "BinaryFieldOp":
+        op, _ = _variant(p["op"])
+        return B.BinaryFieldOp(_brillig_addr(p["destination"]), op,
+                               _brillig_addr(p["lhs"]), _brillig_addr(p["rhs"]))
+    if kind == "BinaryIntOp":
+        op, _ = _variant(p["op"])
+        return B.BinaryIntOp(_brillig_addr(p["destination"]), op,
+                             _int_bits(p["bit_size"]),
+                             _brillig_addr(p["lhs"]), _brillig_addr(p["rhs"]))
+    if kind == "Not":
+        return B.Not(_brillig_addr(p["destination"]),
+                     _brillig_addr(p["source"]), _int_bits(p["bit_size"]))
+    if kind == "Cast":
+        return B.Cast(_brillig_addr(p["destination"]),
+                      _brillig_addr(p["source"]), _bit_size(p["bit_size"]))
+    if kind == "Jump":
+        return B.Jump(p["location"])
+    if kind == "JumpIf":
+        return B.JumpIf(_brillig_addr(p["condition"]), p["location"])
+    if kind == "JumpIfNot":
+        return B.JumpIfNot(_brillig_addr(p["condition"]), p["location"])
+    if kind == "CalldataCopy":
+        return B.CalldataCopy(_brillig_addr(p["destination_address"]),
+                              _brillig_addr(p["size_address"]),
+                              _brillig_addr(p["offset_address"]))
+    if kind == "Call":
+        return B.Call(p["location"])
+    if kind == "Const":
+        return B.Const(_brillig_addr(p["destination"]),
+                       _bit_size(p["bit_size"]), _field_int(p["value"]))
+    if kind == "IndirectConst":
+        return B.IndirectConst(_brillig_addr(p["destination_pointer"]),
+                               _bit_size(p["bit_size"]),
+                               _field_int(p["value"]))
+    if kind == "Return":
+        return B.Return()
+    if kind == "ForeignCall":
+        return B.ForeignCall(
+            function=p["function"],
+            destinations=[_value_or_array(d) for d in p.get("destinations", [])],
+            destination_value_types=p.get("destination_value_types", []),
+            inputs=[_value_or_array(i) for i in p.get("inputs", [])],
+            input_value_types=p.get("input_value_types", []))
+    if kind == "Mov":
+        return B.Mov(_brillig_addr(p["destination"]),
+                     _brillig_addr(p["source"]))
+    if kind == "ConditionalMov":
+        return B.ConditionalMov(_brillig_addr(p["destination"]),
+                                _brillig_addr(p["source_a"]),
+                                _brillig_addr(p["source_b"]),
+                                _brillig_addr(p["condition"]))
+    if kind == "Load":
+        return B.Load(_brillig_addr(p["destination"]),
+                      _brillig_addr(p["source_pointer"]))
+    if kind == "Store":
+        return B.Store(_brillig_addr(p["destination_pointer"]),
+                       _brillig_addr(p["source"]))
+    if kind == "BlackBox":
+        return _brillig_blackbox(p)
+    if kind == "Trap":
+        rd = p.get("revert_data") if isinstance(p, dict) else None
+        return B.Trap(None if rd is None else _heap_vector(rd))
+    if kind == "Stop":
+        rd = p.get("return_data") if isinstance(p, dict) else None
+        return B.Stop(None if rd is None else _heap_vector(rd))
+    raise AcirParseError(f"unknown Brillig opcode {kind}")
+
+
+def _unconstrained_function(doc) -> brillig.BrilligBytecode:
+    body = doc.get("bytecode", doc) if isinstance(doc, dict) else doc
+    return brillig.BrilligBytecode(
+        bytecode=[_brillig_opcode(op) for op in body])
+
+
 def program_from_doc(doc) -> acir.Program:
     return acir.Program(
         functions=[_circuit(f) for f in doc["functions"]],
-        unconstrained_functions=doc.get("unconstrained_functions", []))
+        unconstrained_functions=[
+            _unconstrained_function(f)
+            for f in doc.get("unconstrained_functions", [])])
 
 
 def parse_bytecode(bytecode: bytes) -> acir.Program:

@@ -4,10 +4,10 @@ generate-gnark-inputs.
 Mirrors the reference binary's subcommands
 (``tooling/cli/src/cmd/mod.rs:22-28``).  Circuits are accepted as Noir build
 artifacts (JSON with base64 bytecode; parsed by ``acir.parse``) or as
-provekit-tpu circuit JSON; witnesses as a JSON map of ACIR witness index to
-value (the output of ``nargo execute`` converted, or produced by any frontend)
-— the in-tree Brillig VM is not yet implemented, matching SURVEY's phased
-plan.
+provekit-tpu circuit JSON.  ``prove`` accepts either a ``Prover.toml`` input
+file (executed by the in-tree ACVM/Brillig VM, like the reference's
+``nargo::ops::execute_program`` path) or a JSON map of ACIR witness index to
+value (precomputed ``nargo execute`` output).
 
 Run as ``python -m provekit_tpu.cli <command> ...``.
 """
@@ -21,14 +21,17 @@ from pathlib import Path
 
 
 def _load_circuit_program(path: str):
+    """Returns (program, abi-or-None)."""
     from .acir import model as acir
     from .io.files import _dec
     doc = json.loads(Path(path).read_text())
     if "bytecode" in doc:
+        from .acir.abi import Abi
         from .acir.parse import parse_artifact
-        return parse_artifact(doc)
+        abi = Abi.from_json(doc["abi"]) if doc.get("abi") else None
+        return parse_artifact(doc), abi
     if "program" in doc:
-        return _dec(doc["program"])
+        return _dec(doc["program"]), _dec(doc.get("abi"))
     raise SystemExit(f"{path}: not a recognized circuit artifact")
 
 
@@ -45,12 +48,12 @@ def cmd_prepare(args):
     from .compiler import NoirProofScheme
     from .io import files
     from .utils.profiling import GLOBAL, span
-    program = _load_circuit_program(args.circuit)
+    program, abi = _load_circuit_program(args.circuit)
     with span("prepare"):
         with span("noir_to_r1cs"):
             scheme = NoirProofScheme.from_program(
                 program, security_level=args.security,
-                max_pow_bits=args.max_pow_bits)
+                max_pow_bits=args.max_pow_bits, abi=abi)
         with span("write_nps"):
             files.write(args.output, scheme)
     print(GLOBAL.report())
@@ -67,7 +70,11 @@ def cmd_prove(args):
         with span("read_nps"):
             scheme = files.read(args.scheme)
         with span("read_witness"):
-            acir_values = _load_witness(args.witness)
+            if args.witness.endswith(".toml"):
+                acir_values = scheme.generate_witness(
+                    Path(args.witness).read_text())
+            else:
+                acir_values = _load_witness(args.witness)
         with span("prove_r1cs"):
             proof = scheme.prove(acir_values)
         with span("write_np"):
@@ -92,7 +99,7 @@ def cmd_verify(args):
 
 def cmd_circuit_stats(args):
     from .acir import model as acir
-    program = _load_circuit_program(args.circuit)
+    program, _abi = _load_circuit_program(args.circuit)
     circuit = program.functions[0]
     from collections import Counter
     kinds = Counter(type(op).__name__ for op in circuit.opcodes)

@@ -34,17 +34,19 @@ class NoirProofScheme:
     acir_map: dict[int, int]
     witness_builders: list
     whir_for_witness: WhirR1CSScheme
+    abi: object = None  # acir.abi.Abi when compiled from a Noir artifact
 
     @classmethod
     def from_program(cls, program: acir.Program, security_level: int = 128,
-                     max_pow_bits: int = 17) -> "NoirProofScheme":
+                     max_pow_bits: int = 17, abi=None) -> "NoirProofScheme":
         assert len(program.functions) == 1, "only one ACIR function supported"
         circuit = program.functions[0]
         r1cs, acir_map, builders = noir_to_r1cs(circuit)
         scheme = WhirR1CSScheme.new_for_r1cs(
             r1cs, security_level=security_level, max_pow_bits=max_pow_bits)
         return cls(program=program, r1cs=r1cs, acir_map=acir_map,
-                   witness_builders=builders, whir_for_witness=scheme)
+                   witness_builders=builders, whir_for_witness=scheme,
+                   abi=abi)
 
     @property
     def circuit(self) -> acir.Circuit:
@@ -96,6 +98,32 @@ class NoirProofScheme:
                                self.r1cs.num_witnesses, tr)
         rng = rng if rng is not None else secrets.SystemRandom()
         return wb.fill_witness(partial, rng)
+
+    # -- witness generation (in-tree ACVM/Brillig) --------------------------
+
+    def generate_witness(self, inputs, foreign_handler=None) -> dict[int, int]:
+        """Execute the ACIR program to the full witness map.
+
+        ``inputs`` is either Prover.toml text, a flattened list of field
+        values in ABI order, or an already-initial witness dict.  In-tree
+        equivalent of the reference's external
+        ``nargo::ops::execute_program`` call
+        (``provekit/prover/src/noir_proof_scheme.rs:36-62``).
+        """
+        from ..acir import execute as acvm
+        if isinstance(inputs, dict):
+            initial = inputs
+        else:
+            if isinstance(inputs, str):
+                from ..acir.abi import input_from_toml
+                abi = getattr(self, "abi", None)
+                if abi is None:
+                    raise ValueError(
+                        "TOML inputs need an ABI; attach one via scheme.abi "
+                        "or pass a flattened input list")
+                inputs = input_from_toml(abi, inputs)
+            initial = acvm.initial_witness_from_inputs(self.circuit, inputs)
+        return acvm.execute_program(self.program, initial, foreign_handler)
 
     def prove(self, acir_values: dict[int, int], rng=None) -> NoirProof:
         witness = self.solve_witness(acir_values, rng)

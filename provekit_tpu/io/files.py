@@ -39,15 +39,18 @@ except ImportError:  # pragma: no cover
 MAGIC = b"PKTPU\x00"
 VERSION = (1, 0)
 
+from ..acir import abi as acir_abi
+from ..acir import brillig
 from ..acir import model as acir
 from ..fields import bn254 as F
 from ..protocol import WhirR1CSScheme
 from ..r1cs import R1CS, witness_builder as wb
 from ..compiler.scheme import NoirProof, NoirProofScheme
 
-# registry of dataclass types allowed in artifacts (witness builders + ACIR)
+# registry of dataclass types allowed in artifacts (witness builders, ACIR,
+# Brillig bytecode, ABI)
 _TYPES = {}
-for _mod in (wb, acir):
+for _mod in (wb, acir, brillig, acir_abi):
     for _name in dir(_mod):
         _obj = getattr(_mod, _name)
         if is_dataclass(_obj) and isinstance(_obj, type):
@@ -155,6 +158,7 @@ def scheme_to_doc(scheme: NoirProofScheme) -> dict:
             "security_level": scheme.whir_for_witness.security_level,
             "max_pow_bits": scheme.whir_for_witness.max_pow_bits,
         },
+        "abi": _enc(scheme.abi),
     }
 
 
@@ -169,7 +173,8 @@ def scheme_from_doc(doc: dict) -> NoirProofScheme:
     return NoirProofScheme(
         program=program, r1cs=r1cs,
         acir_map={int(k): v for k, v in doc["acir_map"].items()},
-        witness_builders=builders, whir_for_witness=scheme)
+        witness_builders=builders, whir_for_witness=scheme,
+        abi=_dec(doc.get("abi")))
 
 
 def proof_to_doc(proof: NoirProof) -> dict:

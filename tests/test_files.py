@@ -44,6 +44,84 @@ def test_scheme_roundtrip(tmp_path):
     assert w1 == w2
 
 
+def test_scheme_roundtrip_with_brillig_and_abi(tmp_path):
+    from provekit_tpu.acir import brillig as B
+    from provekit_tpu.acir.abi import Abi, AbiParameter
+
+    D = B.MemoryAddress.direct
+    w = acir.Witness
+    inv_code = B.BrilligBytecode(bytecode=[
+        B.Const(D(10), 32, 1), B.Const(D(11), 32, 0),
+        B.CalldataCopy(D(1), D(10), D(11)),
+        B.Const(D(2), B.FIELD, 1),
+        B.BinaryFieldOp(D(4), "Div", D(2), D(1)),
+        B.Const(D(5), 32, 4), B.Const(D(6), 32, 1),
+        B.Stop(B.HeapVector(pointer=D(5), size=D(6))),
+    ])
+    c = acir.Circuit(opcodes=[
+        acir.BrilligCall(
+            id=0,
+            inputs=[acir.BrilligInputSingle(acir.Expression.from_witness(w(0)))],
+            outputs=[acir.BrilligOutputSimple(w(1))]),
+        acir.AssertZero(acir.Expression(
+            mul_terms=[(1, w(0), w(1))], q_c=F.P - 1)),
+    ], private_parameters=[0])
+    abi = Abi(parameters=[AbiParameter("x", {"kind": "field"})])
+    scheme = NoirProofScheme.from_program(
+        acir.Program(functions=[c], unconstrained_functions=[inv_code]),
+        security_level=30, max_pow_bits=6, abi=abi)
+
+    path = tmp_path / "scheme.nps"
+    files.write(path, scheme)
+    back = files.read(path)
+    assert back.program.unconstrained_functions == \
+        scheme.program.unconstrained_functions
+    assert back.abi == abi
+    # witness generation works through the round-tripped artifact
+    vals = back.generate_witness([9])
+    assert vals[1] == pow(9, F.P - 2, F.P)
+
+
+def test_cli_prove_from_toml(tmp_path):
+    from provekit_tpu import cli
+    from provekit_tpu.acir import brillig as B
+    from provekit_tpu.acir.abi import Abi, AbiParameter
+    from provekit_tpu.io.files import _enc
+
+    D = B.MemoryAddress.direct
+    w = acir.Witness
+    square_code = B.BrilligBytecode(bytecode=[
+        B.Const(D(10), 32, 1), B.Const(D(11), 32, 0),
+        B.CalldataCopy(D(1), D(10), D(11)),
+        B.BinaryFieldOp(D(2), "Mul", D(1), D(1)),
+        B.Const(D(5), 32, 2), B.Const(D(6), 32, 1),
+        B.Stop(B.HeapVector(pointer=D(5), size=D(6))),
+    ])
+    c = acir.Circuit(opcodes=[
+        acir.BrilligCall(
+            id=0,
+            inputs=[acir.BrilligInputSingle(acir.Expression.from_witness(w(0)))],
+            outputs=[acir.BrilligOutputSimple(w(1))]),
+        acir.AssertZero(acir.Expression(
+            mul_terms=[(1, w(0), w(0))],
+            linear_combinations=[(F.P - 1, w(1))])),
+    ], private_parameters=[0])
+    program = acir.Program(functions=[c], unconstrained_functions=[square_code])
+    abi = Abi(parameters=[AbiParameter("x", {"kind": "field"})])
+
+    circ = tmp_path / "circuit.json"
+    circ.write_text(json.dumps({"program": _enc(program), "abi": _enc(abi)}))
+    toml = tmp_path / "Prover.toml"
+    toml.write_text('x = "11"\n')
+    nps = tmp_path / "scheme.nps"
+    np_ = tmp_path / "proof.np"
+
+    cli.main(["prepare", str(circ), "-o", str(nps),
+              "--security", "30", "--max-pow-bits", "6"])
+    cli.main(["prove", str(nps), str(toml), "-o", str(np_), "--verify"])
+    cli.main(["verify", str(nps), str(np_)])
+
+
 def test_scheme_json_roundtrip(tmp_path):
     scheme = small_scheme()
     path = tmp_path / "scheme.json"
