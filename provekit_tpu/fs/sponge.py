@@ -33,7 +33,11 @@ class SkyscraperSponge:
         self.squeeze_pos = RATE
 
     def _permute(self) -> None:
-        l, r = skyscraper.permute(self.state[0], self.state[1])
+        from .. import native
+        if native.available():
+            l, r = native.permute(self.state[0], self.state[1])
+        else:
+            l, r = skyscraper.permute(self.state[0], self.state[1])
         self.state = [l, r]
 
     def absorb(self, units) -> None:

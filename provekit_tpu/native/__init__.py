@@ -45,6 +45,7 @@ def load():
         ctypes.c_char_p, ctypes.c_char_p,          # out witness, out mask
     ]
     lib.pk_compress.argtypes = [ctypes.c_char_p] * 3
+    lib.pk_permute.argtypes = [ctypes.c_char_p] * 2
     lib.pk_merkle_verify.restype = ctypes.c_int
     lib.pk_merkle_verify.argtypes = [
         ctypes.c_char_p, ctypes.c_uint32, ctypes.c_char_p, ctypes.c_uint32,
@@ -63,6 +64,16 @@ def compress(l: int, r: int) -> int:
     out = ctypes.create_string_buffer(32)
     lib.pk_compress(F.to_bytes_le(l), F.to_bytes_le(r), out)
     return int.from_bytes(out.raw, "little")
+
+
+def permute(l: int, r: int) -> tuple[int, int]:
+    from ..fields import bn254 as F
+    lib = load()
+    lb = ctypes.create_string_buffer(F.to_bytes_le(l), 32)
+    rb = ctypes.create_string_buffer(F.to_bytes_le(r), 32)
+    lib.pk_permute(lb, rb)
+    return (int.from_bytes(lb.raw, "little"),
+            int.from_bytes(rb.raw, "little"))
 
 
 def merkle_verify(leaf_values: list[int], path: list[int], index: int,

@@ -37,25 +37,32 @@ class MerkleTree:
     def root(self) -> int:
         return V.unpack_scalar(self.levels[-1][:, 0])
 
-    def open(self, indices: list[int]) -> list[list[int]]:
+    def open(self, indices: list[int],
+             pad_to: int | None = None) -> list[list[int]]:
         """Auth path per index: sibling digests bottom-up (host ints).
 
         All sibling digests are gathered into ONE device array and fetched
         with a single transfer (per-scalar fetches cost a transport
-        round-trip each on remote devices).
+        round-trip each on remote devices).  ``pad_to`` fixes the gather
+        width: query counts are data-dependent (dedup of STIR indices), and
+        without padding every prove compiles fresh gather executables.
         """
         depth = self.depth
         if not indices or depth == 0:
             return [[] for _ in indices]
+        q = len(indices)
+        padded = list(indices)
+        if pad_to is not None and pad_to > q:
+            padded += [indices[0]] * (pad_to - q)
+        width = len(padded)
         gathered = []
-        cur = list(indices)
+        cur = padded
         for level in self.levels[:-1]:
             sibs = jnp.asarray([i ^ 1 for i in cur], dtype=jnp.int32)
             gathered.append(level[:, sibs])
             cur = [i >> 1 for i in cur]
         flat = V.unpack(jnp.concatenate(gathered, axis=1))
-        q = len(indices)
-        return [[flat[d * q + j] for d in range(depth)]
+        return [[flat[d * width + j] for d in range(depth)]
                 for j in range(q)]
 
 
@@ -136,7 +143,14 @@ def commit(leaves: jax.Array) -> MerkleTree:
 
 def verify_path(root: int, leaf_values: list[int], index: int,
                 path: list[int]) -> bool:
-    """Host-side path check: hash leaf values, then climb with siblings."""
+    """Host-side path check: hash leaf values, then climb with siblings.
+
+    Uses the native C++ compress when built (one Skyscraper permutation per
+    node dominates verify wall-clock otherwise).
+    """
+    from .. import native
+    if native.available():
+        return native.merkle_verify(leaf_values, path, index, root)
     h = leaf_values[0]
     for v in leaf_values[1:]:
         h = S.compress(h, v)

@@ -203,11 +203,23 @@ def run_zk_sumcheck_prover(r1cs, z, transcript, m_0: int,
         prover.prove(transcript, blinding_config, com, stmt)
         return SpartanProverOutput(r=r, alpha=alphas)
 
+    # host tail: ONE transfer in, all m_0 rounds in host ints (per-round
+    # device syncs are round-trip-bound on remote devices)
+    xs = [F.from_mont(v) for v in V.unpack(abce.reshape(16, 4 * n))]
+    av, bv, cv, ev = (xs[j * n:(j + 1) * n] for j in range(4))
     for idx in range(m_0):
-        f0m, fm1m, finfm = sc.spartan_round_stacked(abce)
-        f0 = F.from_mont(V.unpack_scalar(f0m))
-        fm1 = F.from_mont(V.unpack_scalar(fm1m))
-        finf = F.from_mont(V.unpack_scalar(finfm))
+        h = len(av) // 2
+        f0 = fm1 = finf = 0
+        for i in range(h):
+            a0, a1 = av[i], av[i + h]
+            b0, b1 = bv[i], bv[i + h]
+            c0_, c1_ = cv[i], cv[i + h]
+            e0, e1 = ev[i], ev[i + h]
+            f0 += e0 * (a0 * b0 - c0_)
+            fm1 += (2 * e0 - e1) * ((2 * a0 - a1) * (2 * b0 - b1)
+                                    - (2 * c0_ - c1_))
+            finf += (e1 - e0) * (a1 - a0) * (b1 - b0)
+        f0, fm1, finf = f0 % F.P, fm1 % F.P, finf % F.P
 
         g_poly = blinding_coefficients_for_round(g_cubics, idx, alphas)
         c0 = (f0 + rho * g_poly[0]) % F.P
@@ -221,7 +233,10 @@ def run_zk_sumcheck_prover(r1cs, z, transcript, m_0: int,
         transcript.add_scalars([c0, c1, c2, c3])
         alpha_i = transcript.challenge_scalars(1)[0]
         alphas.append(alpha_i)
-        abce = sc.fold_stacked_msb(abce, V.pack_scalar(F.to_mont(alpha_i)))
+        av = [(av[i] + alpha_i * (av[i + h] - av[i])) % F.P for i in range(h)]
+        bv = [(bv[i] + alpha_i * (bv[i + h] - bv[i])) % F.P for i in range(h)]
+        cv = [(cv[i] + alpha_i * (cv[i + h] - cv[i])) % F.P for i in range(h)]
+        ev = [(ev[i] + alpha_i * (ev[i + h] - ev[i])) % F.P for i in range(h)]
         claim = eval_cubic([c0, c1, c2, c3], alpha_i)
 
     stmt, f_sum, g_sum = _blinding_statement(

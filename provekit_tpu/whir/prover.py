@@ -69,26 +69,31 @@ def _stir_indices(transcript, num_queries: int, folded_domain: int) -> list[int]
 
 
 def _open_oracle(encoding, tree: merkle.MerkleTree, indices: list[int],
-                 fold_size: int):
-    """Leaf values (per index, poly-major x t-minor) + auth paths."""
+                 fold_size: int, pad_to: int | None = None):
+    """Leaf values (per index, poly-major x t-minor) + auth paths.
+
+    ``pad_to`` pins the gather width to the protocol's query count so the
+    device executables stay shape-stable across proves (the dedup'd index
+    count is data-dependent).
+    """
     view = encoding.reshape(16, -1)  # (16, k*N)
     k = encoding.shape[1]
     n = encoding.shape[2]
     per_leaf = n // fold_size
-    values = []
-    for idx in indices:
-        vals = []
+    padded = list(indices)
+    if pad_to is not None and pad_to > len(indices):
+        padded += [indices[0]] * (pad_to - len(indices))
+    flat = []
+    for idx in padded:
         for i in range(k):
             for t in range(fold_size):
-                vals.append(i * n + t * per_leaf + idx)
-        values.append(vals)
-    flat = [j for vals in values for j in vals]
-    got = V.unpack(view[:, flat])
-    got = [F.from_mont(v) for v in got]
+                flat.append(i * n + t * per_leaf + idx)
+    got = V.unpack(view[:, jnp.asarray(flat, dtype=jnp.int32)])
     leaf_elems = k * fold_size
-    leaf_values = [got[i * leaf_elems:(i + 1) * leaf_elems]
+    leaf_values = [[F.from_mont(v)
+                    for v in got[i * leaf_elems:(i + 1) * leaf_elems]]
                    for i in range(len(indices))]
-    paths = tree.open(indices)
+    paths = tree.open(indices, pad_to=pad_to)
     return leaf_values, paths
 
 
@@ -149,14 +154,30 @@ def prove(transcript, config: WhirConfig, commitment: ProverCommitment,
                 binders.append(alpha)
                 claim = sc.eval_cubic(coeffs, alpha)
             return fw, claim
+        # host tail: ONE transfer in, all rounds in host ints, one out
+        # (per-round device syncs are round-trip-bound on remote devices)
+        n = fw.shape[2]
+        xs = [F.from_mont(v) for v in V.unpack(fw.reshape(16, 2 * n))]
+        fv, wv = xs[:n], xs[n:]
         for _ in range(count):
-            h0, h1, h2 = sc.whir_round_stacked(fw)
-            coeffs = [F.from_mont(V.unpack_scalar(h)) for h in (h0, h1, h2)]
+            h0 = h1 = h2 = 0
+            for i in range(len(fv) // 2):
+                f0, f1 = fv[2 * i], fv[2 * i + 1]
+                w0, w1 = wv[2 * i], wv[2 * i + 1]
+                df, dw = f1 - f0, w1 - w0
+                h0 += f0 * w0
+                h1 += f0 * dw + w0 * df
+                h2 += df * dw
+            coeffs = [h0 % F.P, h1 % F.P, h2 % F.P]
             transcript.add_scalars(coeffs)
             alpha = transcript.challenge_scalars(1)[0]
             binders.append(alpha)
-            fw = sc.fold_stacked_lsb(fw, V.pack_scalar(F.to_mont(alpha)))
+            fv = [(fv[2 * i] + alpha * (fv[2 * i + 1] - fv[2 * i])) % F.P
+                  for i in range(len(fv) // 2)]
+            wv = [(wv[2 * i] + alpha * (wv[2 * i + 1] - wv[2 * i])) % F.P
+                  for i in range(len(wv) // 2)]
             claim = sc.eval_cubic(coeffs, alpha)
+        fw = V.pack([F.to_mont(x) for x in fv + wv]).reshape(16, 2, len(fv))
         return fw, claim
 
     from ..utils.profiling import span
@@ -201,7 +222,8 @@ def prove(transcript, config: WhirConfig, commitment: ProverCommitment,
         indices = _stir_indices(transcript, rc.num_queries, folded_domain)
         with span(f"round{r}_open"):
             leaf_values, paths = _open_oracle(prev_encoding, prev_tree,
-                                              indices, prev_fold_size)
+                                              indices, prev_fold_size,
+                                              pad_to=rc.num_queries)
             transcript.hint_bytes(
                 serialize_openings(indices, leaf_values, paths))
 
@@ -209,7 +231,9 @@ def prove(transcript, config: WhirConfig, commitment: ProverCommitment,
         omega_prev = F.root_of_unity(prev_log_domain)
         n_cur = 1 << log_dom
         enc_idx = [(prev_fold_size // 2) * idx % n_cur for idx in indices]
-        fold_vals = [F.from_mont(v) for v in V.unpack(enc[:, enc_idx])]
+        enc_idx += [0] * (rc.num_queries - len(enc_idx))  # static gather width
+        fold_vals = [F.from_mont(v) for v in V.unpack(
+            enc[:, jnp.asarray(enc_idx, dtype=jnp.int32)])][:len(indices)]
         round_values.extend(fold_vals)
         round_points.extend(pow(omega_prev, prev_fold_size * idx, F.P)
                             for idx in indices)
@@ -248,7 +272,8 @@ def prove(transcript, config: WhirConfig, commitment: ProverCommitment,
     folded_domain = (1 << prev_log_domain) // prev_fold_size
     indices = _stir_indices(transcript, config.final_queries, folded_domain)
     leaf_values, paths = _open_oracle(prev_encoding, prev_tree, indices,
-                                      prev_fold_size)
+                                      prev_fold_size,
+                                      pad_to=config.final_queries)
     transcript.hint_bytes(serialize_openings(indices, leaf_values, paths))
 
     fw, claim = sumcheck_rounds(fw, claim, config.final_sumcheck_rounds)
