@@ -3,10 +3,11 @@
 Mirrors the reference's checkpoint/artifact design
 (``provekit/common/src/file/{mod.rs,bin.rs}``): versioned header
 ``MAGIC || format-tag || (major, minor)`` followed by a zstd-compressed body,
-with a pretty-JSON alternative selected by file extension.  The body encoding
-here is a stable JSON document (big integers as hex strings, index arrays as
-base64 little-endian u32) rather than Rust postcard — the framing, version
-gate (major must match, minor newer-or-equal) and compression behavior match.
+with a pretty-JSON alternative selected by file extension.  The binary body
+uses the in-tree postcard-discipline encoding (``binenc.py``: LEB128
+varints, length-prefixed sequences, raw u32-array fast path); the framing,
+version gate (major must match, minor newer-or-equal) and compression
+behavior match the reference.  Pre-binary (JSON-body) artifacts still read.
 """
 
 from __future__ import annotations
@@ -108,12 +109,16 @@ def _u32s_to_b64(xs) -> str:
         np.asarray(xs, dtype="<u4").tobytes()).decode()
 
 
-def _b64_to_u32s(s: str) -> list[int]:
+def _u32s_from_doc(v) -> list[int]:
     import numpy as np
-    return np.frombuffer(base64.b64decode(s), dtype="<u4").tolist()
+    from .binenc import U32Array
+    if isinstance(v, U32Array):
+        return v.tolist()
+    return np.frombuffer(base64.b64decode(v), dtype="<u4").tolist()
 
 
 def _r1cs_to_doc(r1cs: R1CS) -> dict:
+    from .binenc import U32Array
     return {
         "num_public_inputs": r1cs.num_public_inputs,
         "num_witnesses": r1cs.num_witnesses,
@@ -122,12 +127,26 @@ def _r1cs_to_doc(r1cs: R1CS) -> dict:
             name: {
                 "num_rows": m.num_rows,
                 "num_cols": m.num_cols,
-                "rows": _u32s_to_b64(m.rows),
-                "cols": _u32s_to_b64(m.cols),
-                "value_ids": _u32s_to_b64(m.value_ids),
+                "rows": U32Array(m.rows),
+                "cols": U32Array(m.cols),
+                "value_ids": U32Array(m.value_ids),
             } for name, m in (("a", r1cs.a), ("b", r1cs.b), ("c", r1cs.c))
         },
     }
+
+
+def _jsonify(obj):
+    """Replace binary-only nodes (U32Array, bytes) with JSON-safe forms."""
+    from .binenc import U32Array
+    if isinstance(obj, U32Array):
+        return base64.b64encode(obj.raw).decode()
+    if isinstance(obj, (bytes, bytearray)):
+        return {"__b": base64.b64encode(obj).decode()}
+    if isinstance(obj, list):
+        return [_jsonify(v) for v in obj]
+    if isinstance(obj, dict):
+        return {k: _jsonify(v) for k, v in obj.items()}
+    return obj
 
 
 def _r1cs_from_doc(doc: dict) -> R1CS:
@@ -141,9 +160,9 @@ def _r1cs_from_doc(doc: dict) -> R1CS:
         md = doc["matrices"][name]
         m.num_rows = md["num_rows"]
         m.num_cols = md["num_cols"]
-        m.rows = _b64_to_u32s(md["rows"])
-        m.cols = _b64_to_u32s(md["cols"])
-        m.value_ids = _b64_to_u32s(md["value_ids"])
+        m.rows = _u32s_from_doc(md["rows"])
+        m.cols = _u32s_from_doc(md["cols"])
+        m.value_ids = _u32s_from_doc(md["value_ids"])
     return r
 
 
@@ -178,12 +197,17 @@ def scheme_from_doc(doc: dict) -> NoirProofScheme:
 
 
 def proof_to_doc(proof: NoirProof) -> dict:
-    return {"format": "NPSProof", "transcript": proof.transcript.hex()}
+    return {"format": "NPSProof", "transcript": proof.transcript}
 
 
 def proof_from_doc(doc: dict) -> NoirProof:
     assert doc["format"] == "NPSProof", "not a proof file"
-    return NoirProof(transcript=bytes.fromhex(doc["transcript"]))
+    t = doc["transcript"]
+    if isinstance(t, dict) and "__b" in t:  # JSON form
+        t = base64.b64decode(t["__b"])
+    elif isinstance(t, str):  # legacy hex form
+        t = bytes.fromhex(t)
+    return NoirProof(transcript=t)
 
 
 _FORMAT_TAGS = {"NrProScm": b"\x01", "NPSProof": b"\x02"}
@@ -199,9 +223,10 @@ def write(path, obj) -> None:
     else:
         raise TypeError(type(obj))
     if path.suffix == ".json":
-        path.write_text(json.dumps(doc, indent=1))
+        path.write_text(json.dumps(_jsonify(doc), indent=1))
         return
-    body = json.dumps(doc, separators=(",", ":")).encode()
+    from . import binenc
+    body = binenc.encode(doc)
     header = (MAGIC + _FORMAT_TAGS[doc["format"]] + _COMPRESSION
               + bytes([VERSION[0], VERSION[1]]))
     path.write_bytes(header + _compress(body))
@@ -222,7 +247,11 @@ def read(path):
         body = (_decompress(blob[10:]) if comp == b"Z" and _COMPRESSION == b"Z"
                 else zlib.decompress(blob[10:]) if comp == b"D"
                 else _decompress(blob[10:]))
-        doc = json.loads(body)
+        if body[:4] == b"PKB1":
+            from . import binenc
+            doc = binenc.decode(body)
+        else:  # pre-binary artifacts: JSON body
+            doc = json.loads(body)
     if doc["format"] == "NrProScm":
         return scheme_from_doc(doc)
     if doc["format"] == "NPSProof":
