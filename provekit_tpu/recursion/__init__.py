@@ -13,3 +13,4 @@ setup/prove/verify + CLI/HTTP server, SURVEY §2.9).  Design differences:
 from .curve import G1, G2, g1_generator, g2_generator
 from .pairing import pairing
 from .groth16 import Groth16Keys, setup, prove, verify
+from .builder import LC, CircuitBuilder

@@ -1,0 +1,151 @@
+"""Recursive verification: wrap a NoirProof in Groth16.
+
+End-to-end counterpart of the reference's Go pipeline
+(``recursive-verifier/cmd/cli/main.go`` → ``circuit.PrepareAndVerifyCircuit``
+→ ``Circuit::Define`` → groth16.Prove/Verify, app/circuit/common.go:15-177):
+
+1. :func:`build_verifier_circuit` synthesizes the full scheme verification
+   (protocol/scheme.py::verify) as an R1CS over CircuitBuilder, with the
+   proof's absorbed scalars as PUBLIC inputs (gnark's ``Transcript`` public
+   witness, circuit.go:24-41) and Merkle openings/claimed sums as private
+   hints.
+2. :func:`setup` / :func:`prove` / :func:`verify` run the in-tree Groth16
+   engine (recursion/groth16.py) on that circuit.
+
+The circuit layout is fully determined by the scheme configuration, so one
+setup serves every proof of the same compiled circuit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..fields import bn254 as F
+from ..whir.parameters import WhirConfig
+from . import groth16
+from .builder import CircuitBuilder, LC, ONE
+from .gadgets import TranscriptGadget, split_transcript
+from .verifier_circuit import (CommitmentGadget, StatementGadget,
+                               dense_weights_eval, eq_table_gadget, eq_term,
+                               horner, matrix_weights_eval,
+                               parse_commitment_gadget, read_sumcheck_rounds,
+                               whir_verify_gadget)
+
+P = F.P
+
+
+def spartan_verify_gadget(b: CircuitBuilder, tr: TranscriptGadget, m_0: int,
+                          blinding_config: WhirConfig):
+    """protocol/spartan.py::run_zk_sumcheck_verifier as constraints."""
+    r = tr.challenge_scalars(m_0)
+    com = parse_commitment_gadget(b, tr, blinding_config)
+    [sum_g] = tr.next_scalars(1)
+    rho = tr.challenge_scalars(1)[0]
+    claim = b.mul(rho, sum_g)
+    alphas = []
+    for _ in range(m_0):
+        coeffs = tr.next_scalars(4)
+        b.assert_zero(coeffs[0].scale(2) + coeffs[1] + coeffs[2]
+                      + coeffs[3] - claim)
+        alpha = tr.challenge_scalars(1)[0]
+        alphas.append(alpha)
+        claim = horner(b, coeffs, alpha)
+
+    f_sum, g_sum = tr.next_scalars(2)
+    # tensor-of-powers weights [1, a, a^2, a^3] per alpha
+    # (spartan.py::expand_powers / _blinding_statement)
+    weights: list = []
+    for a in alphas:
+        a2 = b.square(a)
+        weights.extend([ONE, a, a2, b.mul(a2, a)])
+    m_commit = blinding_config.num_variables
+    weights = weights + [LC()] * ((1 << m_commit) - len(weights))
+    stmt = StatementGadget(m_commit)
+    stmt.add(dense_weights_eval(weights),
+             f_sum + b.mul(com.batching_randomness, g_sum))
+    whir_verify_gadget(b, tr, blinding_config, com, stmt)
+
+    last = claim - b.mul(rho, f_sum)
+    return r, alphas, last
+
+
+def build_verifier_circuit(scheme, inner_r1cs, proof: bytes) -> CircuitBuilder:
+    """Synthesize the full verification of ``proof`` for ``scheme``.
+
+    Mirrors protocol/scheme.py::verify.  Returns the populated builder;
+    ``builder.build()`` yields (R1CS, witness) and
+    ``builder.num_public`` public inputs (the absorbed transcript scalars,
+    in order).
+    """
+    io = scheme.create_io_pattern()
+    scalars_int, hints = split_transcript(io, proof)
+
+    b = CircuitBuilder()
+    scalar_lcs = [b.public_input(v) for v in scalars_int]
+    tr = TranscriptGadget(b, io, scalar_lcs, list(hints))
+
+    com = parse_commitment_gadget(b, tr, scheme.whir_witness)
+    r, alpha, last = spartan_verify_gadget(
+        b, tr, scheme.m_0, scheme.whir_for_hiding_spartan)
+
+    # claimed_evaluations hint -> private witnesses (arthur.hint,
+    # verifier/src/whir_r1cs.rs:79; gnark treats these as private witness)
+    hint = tr.hint_bytes()
+    if len(hint) != 6 * 32:
+        raise ValueError("claimed_evaluations hint malformed")
+    vals = [int.from_bytes(hint[32 * i:32 * (i + 1)], "little")
+            for i in range(6)]
+    if any(v >= P for v in vals):
+        raise ValueError("non-canonical hint scalar")
+    f_sums = [b.alloc(v) for v in vals[:3]]
+    g_sums = [b.alloc(v) for v in vals[3:]]
+
+    # statement weights: eq_alpha^T M for M in (A, B, C) — evaluated at the
+    # folding point inside whir_verify_gadget via the R1CS matrix-extension
+    # evaluation (gnark matrix_evaluation.go:41-79)
+    eq_alpha = eq_table_gadget(b, alpha)
+    shared: dict = {}
+    stmt = StatementGadget(scheme.m)
+    for mat, f, g in zip((inner_r1cs.a, inner_r1cs.b, inner_r1cs.c),
+                         f_sums, g_sums):
+        entries = list(mat.iter_entries())
+        stmt.add(matrix_weights_eval(entries, eq_alpha, shared, ""),
+                 f + b.mul(com.batching_randomness, g))
+
+    whir_verify_gadget(b, tr, scheme.whir_witness, com, stmt)
+    tr.finish()
+
+    # final Spartan identity: last == (f_a f_b - f_c) * eq(r, alpha)
+    eq_ra = ONE
+    for rr, aa in zip(r, alpha):
+        eq_ra = b.mul(eq_ra, eq_term(b, rr, aa))
+    want = b.mul(b.mul(f_sums[0], f_sums[1]) - f_sums[2], eq_ra)
+    b.assert_eq(last, want)
+    return b
+
+
+@dataclass
+class RecursiveKeys:
+    keys: groth16.Groth16Keys
+    wrapper_r1cs: object
+
+
+def setup(scheme, inner_r1cs, sample_proof: bytes, rng=None) -> RecursiveKeys:
+    """Build the wrapper circuit once and run the Groth16 trusted setup."""
+    builder = build_verifier_circuit(scheme, inner_r1cs, sample_proof)
+    wrapper, _ = builder.build()
+    return RecursiveKeys(groth16.setup(wrapper, rng=rng), wrapper)
+
+
+def prove(rk: RecursiveKeys, scheme, inner_r1cs, proof: bytes,
+          rng=None) -> tuple[groth16.Groth16Proof, list[int]]:
+    """Wrap ``proof`` in a Groth16 proof.  Returns (g16 proof, publics)."""
+    builder = build_verifier_circuit(scheme, inner_r1cs, proof)
+    _, z = builder.build()
+    publics = z[1:builder.num_public + 1]
+    return groth16.prove(rk.keys, rk.wrapper_r1cs, z, rng=rng), publics
+
+
+def verify(rk: RecursiveKeys, g16_proof: groth16.Groth16Proof,
+           publics: list[int]) -> bool:
+    return groth16.verify(rk.keys, g16_proof, publics)

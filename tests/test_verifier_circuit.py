@@ -1,0 +1,100 @@
+"""The in-circuit WHIR+Spartan verifier: synthesize and check satisfaction.
+
+Counterpart of the reference's gnark circuit tests (exercised only by its
+e2e workflow — there are no Go unit tests upstream; SURVEY §4): here the
+circuit is synthesized for a real proof and its R1CS checked directly,
+plus negative tests that a tampered proof yields an unsatisfiable system.
+"""
+
+import random
+
+import pytest
+
+from provekit_tpu.fields import bn254 as F
+from provekit_tpu.fields import vector as V
+from provekit_tpu.protocol import WhirR1CSScheme
+from provekit_tpu.protocol.scheme import next_power_of_two_log
+from provekit_tpu.r1cs import R1CS
+from provekit_tpu.whir.parameters import WhirConfig
+
+from tests.test_e2e import build_system
+
+
+def tiny_scheme(r1cs, security=3, folding=2, max_pow=0):
+    """A deliberately small scheme so the wrapper circuit stays compact."""
+    m = next_power_of_two_log(r1cs.num_witnesses) + 1
+    m_0 = max(1, next_power_of_two_log(r1cs.num_constraints))
+    blinding_vars = next_power_of_two_log(4 * m_0) + 1
+    return WhirR1CSScheme(
+        m=m, m_0=m_0,
+        a_num_terms=next_power_of_two_log(max(1, r1cs.a.nnz)),
+        whir_witness=WhirConfig(
+            num_variables=m, batch_size=2, security_level=security,
+            max_pow_bits=max_pow, folding_factor=folding),
+        whir_for_hiding_spartan=WhirConfig(
+            num_variables=blinding_vars, batch_size=2,
+            security_level=security, max_pow_bits=max_pow,
+            folding_factor=folding),
+        security_level=security, max_pow_bits=max_pow)
+
+
+def _satisfied(builder):
+    r1cs, z = builder.build()
+    zm = V.pack([F.to_mont(v) for v in z])
+    ok = r1cs.is_satisfied(zm)
+    return ok, r1cs
+
+
+@pytest.fixture(scope="module")
+def inner():
+    r1cs, witness = build_system(seed=3, n_mults=1)
+    scheme = tiny_scheme(r1cs)
+    proof = scheme.prove(r1cs, witness, rng=random.Random(11))
+    scheme.verify(r1cs, proof)  # sanity: host verifier accepts
+    return r1cs, scheme, proof
+
+
+def test_circuit_accepts_valid_proof(inner):
+    from provekit_tpu.recursion.wrap import build_verifier_circuit
+    r1cs, scheme, proof = inner
+    builder = build_verifier_circuit(scheme, r1cs, proof)
+    ok, wrapper = _satisfied(builder)
+    assert ok, "verifier circuit rejected a valid proof"
+    # the public inputs are exactly the absorbed transcript scalars
+    from provekit_tpu.recursion.gadgets import split_transcript
+    scalars, _ = split_transcript(scheme.create_io_pattern(), proof)
+    assert builder.num_public == len(scalars)
+    assert wrapper.num_public_inputs == len(scalars)
+
+
+def test_circuit_rejects_tampered_proof(inner):
+    from provekit_tpu.recursion.wrap import build_verifier_circuit
+    from provekit_tpu.whir.verifier import WhirError
+    r1cs, scheme, proof = inner
+    # flip a low-order byte of the first committed root scalar: either the
+    # synthesis itself fails (host-side hint mismatch) or the circuit is
+    # unsatisfiable — never a satisfied system.
+    bad = bytearray(proof)
+    bad[0] ^= 1
+    try:
+        builder = build_verifier_circuit(scheme, r1cs, bytes(bad))
+    except (WhirError, ValueError, AssertionError):
+        return
+    ok, _ = _satisfied(builder)
+    assert not ok, "verifier circuit accepted a tampered proof"
+
+
+def test_circuit_rejects_wrong_claimed_sums(inner):
+    from provekit_tpu.recursion.wrap import build_verifier_circuit
+    from provekit_tpu.whir.verifier import WhirError
+    r1cs, scheme, proof = inner
+    # tamper the final 32 bytes (inside the witness-WHIR hint region /
+    # trailing proof data)
+    bad = bytearray(proof)
+    bad[-20] ^= 1
+    try:
+        builder = build_verifier_circuit(scheme, r1cs, bytes(bad))
+    except (WhirError, ValueError, AssertionError):
+        return
+    ok, _ = _satisfied(builder)
+    assert not ok
