@@ -128,6 +128,39 @@ def cmd_generate_gnark_inputs(args):
     print(f"wrote {out}/params_for_recursive_verifier and {out}/r1cs.json")
 
 
+def cmd_recursive_verify(args):
+    """Wrap a .np proof in Groth16 (the reference's Go recursive-verifier
+    CLI flow: build circuit, setup or load cached keys, prove, verify —
+    recursive-verifier/cmd/cli/main.go:15-120, app/circuit/common.go)."""
+    import pickle
+    from .io import files
+    from .recursion import wrap
+    from .utils.profiling import GLOBAL, span
+    scheme = files.read(args.scheme)
+    proof = files.read(args.proof)
+    inner = scheme.whir_for_witness
+    keys_path = Path(args.keys) if args.keys else None
+    rk = None
+    if keys_path and keys_path.exists():
+        with span("load_keys"):
+            rk = pickle.loads(keys_path.read_bytes())
+    if rk is None:
+        with span("groth16_setup"):
+            rk = wrap.setup(inner, scheme.r1cs, proof.transcript)
+        if keys_path:
+            keys_path.write_bytes(pickle.dumps(rk))
+    with span("groth16_prove"):
+        g16, publics = wrap.prove(rk, inner, scheme.r1cs, proof.transcript)
+    with span("groth16_verify"):
+        ok = wrap.verify(rk, g16, publics)
+    print(GLOBAL.report())
+    if not ok:
+        raise SystemExit("recursive verification FAILED")
+    print(f"recursive verification: OK "
+          f"({rk.wrapper_r1cs.num_constraints} wrapper constraints, "
+          f"{len(publics)} public inputs)")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="provekit-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -162,6 +195,14 @@ def main(argv=None):
     sp.add_argument("proof")
     sp.add_argument("-o", "--output-dir", default="gnark-inputs")
     sp.set_defaults(fn=cmd_generate_gnark_inputs)
+
+    sp = sub.add_parser("recursive-verify",
+                        help="wrap a proof in Groth16 and verify it")
+    sp.add_argument("scheme")
+    sp.add_argument("proof")
+    sp.add_argument("--keys", help="Groth16 key cache path "
+                    "(created on first run, like the reference's --ccs)")
+    sp.set_defaults(fn=cmd_recursive_verify)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -85,11 +85,15 @@ ONE = LC(const=1)
 class CircuitBuilder:
     """Accumulates R1CS constraints and the witness assignment together."""
 
-    def __init__(self):
+    def __init__(self, debug_assert: bool = False):
         self.values: list[int] = [1]  # wire 0 == 1
         self.constraints: list = []   # (a_terms, b_terms, c_terms) LC-terms
         self.num_public = 0
         self._private_started = False
+        # debug_assert: evaluate every enforce() on the host assignment at
+        # synthesis time and raise on the first violated row — pinpoints a
+        # failing gadget without solving the full system
+        self.debug_assert = debug_assert
 
     # -- wires ---------------------------------------------------------------
 
@@ -122,6 +126,12 @@ class CircuitBuilder:
 
     def enforce(self, a: LC, b: LC, c: LC) -> None:
         """Add the row  <a, z> * <b, z> == <c, z>."""
+        if self.debug_assert:
+            av, bv, cv = self.value(a), self.value(b), self.value(c)
+            if av * bv % P != cv:
+                raise AssertionError(
+                    f"constraint {len(self.constraints)} violated: "
+                    f"{av} * {bv} != {cv}")
         self.constraints.append((a.as_terms(), b.as_terms(), c.as_terms()))
 
     def assert_zero(self, lc: LC) -> None:

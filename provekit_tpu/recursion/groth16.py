@@ -67,6 +67,62 @@ def _intt(vals: list[int], omega: int) -> list[int]:
     return [v * inv_n % R for v in out]
 
 
+def _ntt_fast(vals: list[int], omega: int) -> list[int]:
+    from ..native import curve as NC
+    if len(vals) >= 512 and NC.available():
+        return NC.fr_ntt(vals, omega)
+    return _ntt(vals, omega)
+
+
+def _intt_fast(vals: list[int], omega: int) -> list[int]:
+    from ..native import curve as NC
+    if len(vals) >= 512 and NC.available():
+        return NC.fr_ntt(vals, omega, invert=True)
+    return _intt(vals, omega)
+
+
+def _batch_inverse(vals: list[int]) -> list[int]:
+    """Montgomery batch inversion: one modular inverse for the whole list."""
+    n = len(vals)
+    prefix = [1] * (n + 1)
+    for i, v in enumerate(vals):
+        prefix[i + 1] = prefix[i] * v % R
+    inv = pow(prefix[n], R - 2, R)
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = prefix[i] * inv % R
+        inv = inv * vals[i] % R
+    return out
+
+
+def _g1_base_batch(base, scalars: list[int]) -> list:
+    from ..native import curve as NC
+    if len(scalars) >= 64 and NC.available():
+        return NC.g1_mul_base_batch(base, scalars)
+    return [G1.mul(base, s) for s in scalars]
+
+
+def _g2_base_batch(base, scalars: list[int]) -> list:
+    from ..native import curve as NC
+    if len(scalars) >= 64 and NC.available():
+        return NC.g2_mul_base_batch(base, scalars)
+    return [G2.mul(base, s) for s in scalars]
+
+
+def _g1_msm(points: list, scalars: list[int]):
+    from ..native import curve as NC
+    if len(points) >= 64 and NC.available():
+        return NC.g1_msm(points, scalars)
+    return G1.msm(points, scalars)
+
+
+def _g2_msm(points: list, scalars: list[int]):
+    from ..native import curve as NC
+    if len(points) >= 64 and NC.available():
+        return NC.g2_msm(points, scalars)
+    return G2.msm(points, scalars)
+
+
 @dataclass
 class Groth16Keys:
     # proving key
@@ -102,11 +158,11 @@ def _qap_evals_at_tau(r1cs, tau: int, n: int, omega: int):
     m = r1cs.num_witnesses
     zt = (pow(tau, n, R) - 1) % R
     inv_n = pow(n, R - 2, R)
-    lj = []
-    wj = 1
-    for j in range(n):
-        lj.append(wj * zt % R * pow((tau - wj) % R, R - 2, R) % R * inv_n % R)
-        wj = wj * omega % R
+    wjs = [1] * n
+    for j in range(1, n):
+        wjs[j] = wjs[j - 1] * omega % R
+    denoms = _batch_inverse([(tau - wj) % R for wj in wjs])
+    lj = [wj * zt % R * d % R * inv_n % R for wj, d in zip(wjs, denoms)]
     u = [0] * m
     v = [0] * m
     w = [0] * m
@@ -136,24 +192,25 @@ def setup(r1cs, rng=None) -> Groth16Keys:
 
     k = [(beta * u[i] + alpha * v[i] + w[i]) % R
          for i in range(r1cs.num_witnesses)]
-    ic1 = [G1.mul(g1, k[i] * inv_gamma % R) for i in range(n_public)]
-    kw1 = [G1.mul(g1, k[i] * inv_delta % R)
-           for i in range(n_public, r1cs.num_witnesses)]
+    ic1 = _g1_base_batch(g1, [k[i] * inv_gamma % R for i in range(n_public)])
+    kw1 = _g1_base_batch(g1, [k[i] * inv_delta % R
+                              for i in range(n_public, r1cs.num_witnesses)])
 
     zt = (pow(tau, n, R) - 1) % R
-    zt1 = []
+    zts = []
     ti = 1
     for _ in range(n - 1):
-        zt1.append(G1.mul(g1, ti * zt % R * inv_delta % R))
+        zts.append(ti * zt % R * inv_delta % R)
         ti = ti * tau % R
+    zt1 = _g1_base_batch(g1, zts)
 
     return Groth16Keys(
         alpha1=G1.mul(g1, alpha), beta1=G1.mul(g1, beta),
         beta2=G2.mul(g2, beta), delta1=G1.mul(g1, delta),
         delta2=G2.mul(g2, delta),
-        u1=[G1.mul(g1, x) for x in u],
-        v1=[G1.mul(g1, x) for x in v],
-        v2=[G2.mul(g2, x) for x in v],
+        u1=_g1_base_batch(g1, u),
+        v1=_g1_base_batch(g1, v),
+        v2=_g2_base_batch(g2, v),
         kw1=kw1, zt1=zt1,
         gamma2=G2.mul(g2, gamma),
         ic1=ic1, n_public=n_public)
@@ -172,9 +229,9 @@ def _h_coeffs(r1cs, z: list[int], n: int, omega: int) -> list[int]:
         return out
 
     az, bz, cz = rows(r1cs.a), rows(r1cs.b), rows(r1cs.c)
-    ua = _intt(az, omega)
-    vb = _intt(bz, omega)
-    wc = _intt(cz, omega)
+    ua = _intt_fast(az, omega)
+    vb = _intt_fast(bz, omega)
+    wc = _intt_fast(cz, omega)
     g = _FR_GEN
     # shift to coset: coeff_i *= g^i, then forward NTT
     def coset_evals(coeffs):
@@ -183,12 +240,12 @@ def _h_coeffs(r1cs, z: list[int], n: int, omega: int) -> list[int]:
         for c in coeffs:
             shifted.append(c * gi % R)
             gi = gi * g % R
-        return _ntt(shifted, omega)
+        return _ntt_fast(shifted, omega)
 
     ue, ve, we = coset_evals(ua), coset_evals(vb), coset_evals(wc)
     t_inv = pow((pow(g, n, R) - 1) % R, R - 2, R)
     he = [(ue[i] * ve[i] - we[i]) % R * t_inv % R for i in range(n)]
-    hc = _intt(he, omega)
+    hc = _intt_fast(he, omega)
     g_inv = pow(g, R - 2, R)
     gi = 1
     out = []
@@ -212,23 +269,23 @@ def prove(keys: Groth16Keys, r1cs, z: list[int], rng=None) -> Groth16Proof:
     h = _h_coeffs(r1cs, z, n, omega)
 
     nz = [(i, a) for i, a in enumerate(z) if a]
-    a_pt = G1.add(keys.alpha1, G1.msm([keys.u1[i] for i, _ in nz],
-                                      [a for _, a in nz]))
+    a_pt = G1.add(keys.alpha1, _g1_msm([keys.u1[i] for i, _ in nz],
+                                       [a for _, a in nz]))
     a_pt = G1.add(a_pt, G1.mul(keys.delta1, r))
 
-    b2_pt = G2.add(keys.beta2, G2.msm([keys.v2[i] for i, _ in nz],
-                                      [a for _, a in nz]))
+    b2_pt = G2.add(keys.beta2, _g2_msm([keys.v2[i] for i, _ in nz],
+                                       [a for _, a in nz]))
     b2_pt = G2.add(b2_pt, G2.mul(keys.delta2, s))
-    b1_pt = G1.add(keys.beta1, G1.msm([keys.v1[i] for i, _ in nz],
-                                      [a for _, a in nz]))
+    b1_pt = G1.add(keys.beta1, _g1_msm([keys.v1[i] for i, _ in nz],
+                                       [a for _, a in nz]))
     b1_pt = G1.add(b1_pt, G1.mul(keys.delta1, s))
 
     priv = [(i, a) for i, a in nz if i >= keys.n_public]
-    c_pt = G1.msm([keys.kw1[i - keys.n_public] for i, _ in priv],
-                  [a for _, a in priv])
+    c_pt = _g1_msm([keys.kw1[i - keys.n_public] for i, _ in priv],
+                   [a for _, a in priv])
     hnz = [(i, c) for i, c in enumerate(h) if c]
-    c_pt = G1.add(c_pt, G1.msm([keys.zt1[i] for i, _ in hnz],
-                               [c for _, c in hnz]))
+    c_pt = G1.add(c_pt, _g1_msm([keys.zt1[i] for i, _ in hnz],
+                                [c for _, c in hnz]))
     c_pt = G1.add(c_pt, G1.mul(a_pt, s))
     c_pt = G1.add(c_pt, G1.mul(b1_pt, r))
     c_pt = G1.add(c_pt, G1.neg(G1.mul(keys.delta1, r * s % R)))

@@ -84,6 +84,20 @@ def test_circuit_rejects_tampered_proof(inner):
     assert not ok, "verifier circuit accepted a tampered proof"
 
 
+@pytest.mark.slow
+def test_groth16_wrap_end_to_end(inner):
+    """The full recursion: proof -> verifier circuit -> Groth16 (native MSM)."""
+    import random as _random
+    from provekit_tpu.recursion import wrap
+    r1cs, scheme, proof = inner
+    rk = wrap.setup(scheme, r1cs, proof, rng=_random.Random(1))
+    g16, publics = wrap.prove(rk, scheme, r1cs, proof, rng=_random.Random(2))
+    assert wrap.verify(rk, g16, publics)
+    bad = list(publics)
+    bad[0] = (bad[0] + 1) % F.P
+    assert not wrap.verify(rk, g16, bad)
+
+
 def test_circuit_rejects_wrong_claimed_sums(inner):
     from provekit_tpu.recursion.wrap import build_verifier_circuit
     from provekit_tpu.whir.verifier import WhirError
