@@ -38,43 +38,67 @@ def _bitrev_perm(log_n: int) -> np.ndarray:
 
 
 @functools.cache
-def _stage_twiddles(log_n: int, inverse: bool = False) -> tuple:
-    """Twiddle tables per stage: stage s uses w_s^k, k<2^(s-1), w_s of order 2^s."""
-    tables = []
-    for s in range(1, log_n + 1):
-        w = F.root_of_unity(s)
-        if inverse:
-            w = F.inv(w)
-        half = 1 << (s - 1)
-        tw = [1] * half
-        for k in range(1, half):
-            tw[k] = tw[k - 1] * w % F.P
-        tables.append(V.pack([F.to_mont(t) for t in tw]))
-    return tuple(tables)
+def _twiddle_table(log_n: int, inverse: bool = False) -> jax.Array:
+    """(16, n/2) device table of w^k (Montgomery form), w of order 2^log_n.
+
+    Built by on-device log-doubling (T ‖ T·w^|T|) and passed to the jitted
+    NTT as an *argument* — baking it in as a compile-time constant ships
+    up to hundreds of MB in the compile request (the axon remote-compile
+    tunnel rejects those) and defeats XLA constant-dedup across sizes.
+    """
+    w = F.root_of_unity(log_n)
+    if inverse:
+        w = F.inv(w)
+    tw = V.pack([F.to_mont(1)])
+    for s in range(log_n - 1):
+        shift = V.broadcast_scalar(
+            V.pack_scalar(F.to_mont(pow(w, 1 << s, F.P))), (1 << s,))
+        tw = jnp.concatenate([tw, V.mont_mul(tw, shift)], axis=1)
+    return tw
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _ntt_core(x: jax.Array, log_n: int, inverse: bool) -> jax.Array:
-    """In-order forward/inverse NTT of (16, n) Montgomery values."""
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _ntt_core_impl(x: jax.Array, tw: jax.Array, rev: jax.Array,
+                   log_n: int, inverse: bool) -> jax.Array:
+    """In-order forward/inverse NTT of (16, n) Montgomery values.
+
+    Constant-geometry (Pease) decimation-in-frequency: every stage is the
+    same static-shape program — split halves, butterfly against a gathered
+    twiddle slice of the order-n table, interleave — so the whole transform
+    is ONE ``fori_loop`` stage body.  An unrolled radix-2 ladder at
+    log_n≈21 produced a 100k-op HLO graph (minutes of XLA compile, and a
+    compile payload the remote-compile tunnel rejects); this compiles in
+    seconds at any size.  Output order of DIF is bit-reversed, fixed by a
+    final gather.
+    """
     n = 1 << log_n
-    rev = jnp.asarray(_bitrev_perm(log_n))
+    if n == 1:
+        return x
+    half = n >> 1
+    iota = jnp.arange(half, dtype=jnp.int32)
+
+    def stage(s, x):
+        a = jax.lax.slice(x, (0, 0), (16, half))
+        b = jax.lax.slice(x, (0, half), (16, n))
+        # stage-s twiddle of lane k: w^{(k >> s) << s}
+        e = jnp.left_shift(jnp.right_shift(iota, s), s)
+        t = V.mont_mul(V.sub_mod(a, b), jnp.take(tw, e, axis=1))
+        u = V.add_mod(a, b)
+        return jnp.stack([u, t], axis=2).reshape(16, n)
+
+    x = jax.lax.fori_loop(0, log_n, stage, x)
     x = x[:, rev]
-    twiddles = _stage_twiddles(log_n, inverse)
-    for s in range(1, log_n + 1):
-        half = 1 << (s - 1)
-        blocks = n >> s
-        xs = x.reshape(16, blocks, 2, half)
-        lo, hi = xs[:, :, 0, :], xs[:, :, 1, :]
-        tw = twiddles[s - 1][:, None, :]  # (16,1,half)
-        t = V.mont_mul(hi, jnp.broadcast_to(tw, hi.shape))
-        x = jnp.concatenate(
-            [V.add_mod(lo, t)[:, :, None, :], V.sub_mod(lo, t)[:, :, None, :]],
-            axis=2).reshape(16, n)
     if inverse:
         n_inv = V.broadcast_scalar(
             V.pack_scalar(F.to_mont(F.inv(n))), x.shape[1:])
         x = V.mont_mul(x, n_inv)
     return x
+
+
+def _ntt_core(x: jax.Array, log_n: int, inverse: bool) -> jax.Array:
+    tw = _twiddle_table(log_n, inverse)
+    rev = jnp.asarray(_bitrev_perm(log_n))
+    return _ntt_core_impl(x, tw, rev, log_n, inverse)
 
 
 HOST_TAIL = int(os.environ.get("PROVEKIT_TPU_HOST_TAIL", "2048"))
