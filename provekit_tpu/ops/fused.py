@@ -102,7 +102,7 @@ def whir_sumcheck_segment(fw: jax.Array, state: jax.Array, count: int):
     h = n // 2
 
     def body(j, carry):
-        fw, state, coeffs = carry
+        fw, state, coeffs, alphas = carry
         active = jnp.int32(n) >> j          # current length
         ap = active >> 1                    # active pairs
         f0, w0 = fw[:, 0, 0::2], fw[:, 1, 0::2]
@@ -117,6 +117,7 @@ def whir_sumcheck_segment(fw: jax.Array, state: jax.Array, count: int):
             coeffs, jnp.stack(hc, axis=2).reshape(16, 1, 3), (0, j, 0))
         state = _absorb_seq(state, hc)
         state, alpha_c = _squeeze1(state)
+        alphas = jax.lax.dynamic_update_slice(alphas, alpha_c, (0, j))
         alpha_m = _to_mont1(alpha_c)
 
         ab = jnp.broadcast_to(alpha_m[:, None, :], (16, 2, h))
@@ -124,11 +125,13 @@ def whir_sumcheck_segment(fw: jax.Array, state: jax.Array, count: int):
         od = fw[:, :, 1::2]
         folded = V.add_mod(ev, V.mont_mul(ab, V.sub_mod(od, ev)))
         fw = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=2)
-        return fw, state, coeffs
+        return fw, state, coeffs, alphas
 
     coeffs0 = jnp.zeros((16, count, 3), dtype=V.U32)
-    fw, state, coeffs = jax.lax.fori_loop(0, count, body, (fw, state, coeffs0))
-    return fw, state, coeffs
+    alphas0 = jnp.zeros((16, count), dtype=V.U32)
+    fw, state, coeffs, alphas = jax.lax.fori_loop(
+        0, count, body, (fw, state, coeffs0, alphas0))
+    return fw, state, coeffs, alphas
 
 
 @functools.partial(jax.jit, static_argnums=(8,))
@@ -150,7 +153,7 @@ def spartan_sumcheck_fused(abce: jax.Array, state: jax.Array,
     half_c = jnp.asarray(V._const_limbs(F.to_mont(F.HALF))).reshape(16, 1)
 
     def body(idx, carry):
-        abce, state, coeffs, claim, prefix = carry
+        abce, state, coeffs, alphas, claim, prefix = carry
         active = jnp.int32(n) >> idx
         ap = active >> 1
         lo = abce[:, :, :h]
@@ -197,6 +200,7 @@ def spartan_sumcheck_fused(abce: jax.Array, state: jax.Array,
             coeffs, jnp.stack(cs_canon, axis=2).reshape(16, 1, 4), (0, idx, 0))
         state = _absorb_seq(state, cs_canon)
         state, alpha_c = _squeeze1(state)
+        alphas = jax.lax.dynamic_update_slice(alphas, alpha_c, (0, idx))
         alpha_m = _to_mont1(alpha_c)
 
         claim = _eval_poly_mont(cs, alpha_m)
@@ -205,10 +209,11 @@ def spartan_sumcheck_fused(abce: jax.Array, state: jax.Array,
         ab = jnp.broadcast_to(alpha_m[:, None, :], (16, 4, h))
         folded = V.add_mod(lo, V.mont_mul(ab, V.sub_mod(hi, lo)))
         abce = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=2)
-        return abce, state, coeffs, claim, prefix
+        return abce, state, coeffs, alphas, claim, prefix
 
     coeffs0 = jnp.zeros((16, m_0, 4), dtype=V.U32)
+    alphas0 = jnp.zeros((16, m_0), dtype=V.U32)
     prefix0 = V.zeros((1,))
-    _, state, coeffs, _, _ = jax.lax.fori_loop(
-        0, m_0, body, (abce, state, coeffs0, claim0, prefix0))
-    return state, coeffs
+    _, state, coeffs, alphas, _, _ = jax.lax.fori_loop(
+        0, m_0, body, (abce, state, coeffs0, alphas0, claim0, prefix0))
+    return state, coeffs, alphas

@@ -141,6 +141,41 @@ def commit(leaves: jax.Array) -> MerkleTree:
     return MerkleTree(levels)
 
 
+def root_dev(tree: MerkleTree) -> jax.Array:
+    """Root digest as a (16, 1) canonical device array (no sync)."""
+    return tree.levels[-1][:, :1]
+
+
+def commit_dev(leaves: jax.Array) -> MerkleTree:
+    """Fully device-resident tree build (no host levels, no syncs).
+
+    Used by the device-resident prover: small-level compresses are tiny
+    async dispatches, which beats a ~30 ms transfer round trip per tree on
+    tunneled devices.
+    """
+    from . import pallas_kernels as PK
+    digests = hash_leaves(leaves)
+    levels = [digests]
+    while levels[-1].shape[1] > 1:
+        cur = levels[-1]
+        levels.append(PK.compress_dispatch(cur[:, 0::2], cur[:, 1::2]))
+    return MerkleTree(levels)
+
+
+def open_gather_dev(tree: MerkleTree, indices: jax.Array) -> jax.Array:
+    """Auth paths for (q,) uint32 leaf indices as (16, depth*q) digests.
+
+    Sibling digests bottom-up, row-major by level (level d occupies columns
+    [d*q, (d+1)*q)) — matches ``MerkleTree.open``'s flat gather layout."""
+    gathered = []
+    cur = indices
+    for level in tree.levels[:-1]:
+        gathered.append(level[:, cur ^ jnp.uint32(1)])
+        cur = cur >> 1
+    return jnp.concatenate(gathered, axis=1) if gathered else \
+        jnp.zeros((16, 0), dtype=jnp.uint32)
+
+
 def verify_path(root: int, leaf_values: list[int], index: int,
                 path: list[int]) -> bool:
     """Host-side path check: hash leaf values, then climb with siblings.

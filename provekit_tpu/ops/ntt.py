@@ -57,48 +57,122 @@ def _twiddle_table(log_n: int, inverse: bool = False) -> jax.Array:
     return tw
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _ntt_core_impl(x: jax.Array, tw: jax.Array, rev: jax.Array,
-                   log_n: int, inverse: bool) -> jax.Array:
-    """In-order forward/inverse NTT of (16, n) Montgomery values.
+def _pease_flat(x, tw, rev, log_m: int, chunk: int):
+    """Constant-geometry (Pease) DIF NTT along the major axis.
 
-    Constant-geometry (Pease) decimation-in-frequency: every stage is the
-    same static-shape program — split halves, butterfly against a gathered
-    twiddle slice of the order-n table, interleave — so the whole transform
-    is ONE ``fori_loop`` stage body.  An unrolled radix-2 ladder at
-    log_n≈21 produced a 100k-op HLO graph (minutes of XLA compile, and a
-    compile payload the remote-compile tunnel rejects); this compiles in
-    seconds at any size.  Output order of DIF is bit-reversed, fixed by a
-    final gather.
+    ``x`` is (16, m*chunk) viewed as (16, m, chunk); the size-m transform
+    runs over the major axis with the minor ``chunk`` axis batched in
+    lanes.  Every stage is: contiguous half-split, fused Pallas butterfly,
+    chunk-granularity interleave -- all reads/writes contiguous at ``chunk``
+    granularity (element-granularity interleave is a minor-dim stride-2
+    relayout, ~50x slower on TPU).  ``tw`` is the (16, m/2) table of w_m^k;
+    DIF output order is fixed by the ``rev`` chunk permutation.
     """
-    n = 1 << log_n
-    if n == 1:
+    m = 1 << log_m
+    if m == 1:
         return x
+    n = x.shape[1]
+    assert n == m * chunk
     half = n >> 1
-    iota = jnp.arange(half, dtype=jnp.int32)
 
-    def stage(s, x):
+    from . import pallas_kernels as PK
+
+    for s in range(log_m):
         a = jax.lax.slice(x, (0, 0), (16, half))
         b = jax.lax.slice(x, (0, half), (16, n))
-        # stage-s twiddle of lane k: w^{(k >> s) << s}
-        e = jnp.left_shift(jnp.right_shift(iota, s), s)
-        t = V.mont_mul(V.sub_mod(a, b), jnp.take(tw, e, axis=1))
-        u = V.add_mod(a, b)
-        return jnp.stack([u, t], axis=2).reshape(16, n)
+        # stage-s twiddle of major index k: w^{(k >> s) << s} -- the
+        # stride-2^s decimation of the table, each entry repeated
+        # 2^s * chunk times (strided slice + broadcast; no gather)
+        dec = tw if s == 0 else jax.lax.slice(
+            tw, (0, 0), (16, (m >> 1) - (1 << s) + 1), (1, 1 << s))
+        rep = (1 << s) * chunk
+        tw_s = jnp.broadcast_to(dec[:, :, None],
+                                (16, m >> (s + 1), rep)).reshape(16, half)
+        u, t = PK.butterfly_dispatch(a, b, tw_s)
+        x = jnp.stack([u.reshape(16, half // chunk, chunk),
+                       t.reshape(16, half // chunk, chunk)],
+                      axis=2).reshape(16, n)
 
-    x = jax.lax.fori_loop(0, log_n, stage, x)
-    x = x[:, rev]
+    return x.reshape(16, m, chunk)[:, rev].reshape(16, n)
+
+
+# sizes up to this run single-phase; above, four-step (major-axis batched)
+FOUR_STEP_MIN_LOG = 12
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _ntt_single(x, tw, rev, n_inv, log_n: int, inverse: bool):
+    x = _pease_flat(x, tw, rev, log_n, 1)
     if inverse:
-        n_inv = V.broadcast_scalar(
-            V.pack_scalar(F.to_mont(F.inv(n))), x.shape[1:])
-        x = V.mont_mul(x, n_inv)
+        x = V.mont_mul(x, jnp.broadcast_to(n_inv[:, None], x.shape))
     return x
 
 
+@functools.partial(jax.jit, static_argnums=(7, 8, 9))
+def _ntt_four_step(x, tw1, rev1, cross, tw2, rev2, n_inv,
+                   log_n1: int, log_n2: int, inverse: bool):
+    """Four-step NTT: X[k1 + n1*k2] = NTT_n2( twiddle( NTT_n1(A) ) ).
+
+    With A[j1][j2] = x[j1*n2 + j2]:
+      B[k1][j2] = sum_j1 A[j1][j2] w1^{j1 k1}    (major-axis NTT, batch n2)
+      C[k1][j2] = B[k1][j2] * w^{k1 j2}          (cross twiddles)
+      transpose -> C'[j2][k1]
+      D[k2][k1] = sum_j2 C'[j2][k1] w2^{j2 k2}   (major-axis NTT, batch n1)
+      row-major flatten of D = X.
+    """
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    n = n1 * n2
+    from . import pallas_kernels as PK
+    x = _pease_flat(x, tw1, rev1, log_n1, n2)
+    x = PK.mont_mul_dispatch(x, cross)
+    x = x.reshape(16, n1, n2).transpose(0, 2, 1).reshape(16, n)
+    x = _pease_flat(x, tw2, rev2, log_n2, n1)
+    if inverse:
+        x = PK.mont_mul_dispatch(
+            x, jnp.broadcast_to(n_inv[:, None], x.shape))
+    return x
+
+
+@functools.cache
+def _power_table_full(log_n: int, inverse: bool) -> jax.Array:
+    """(16, n) table of w^j for j < n, w of order 2^log_n (Montgomery)."""
+    w = F.root_of_unity(log_n)
+    if inverse:
+        w = F.inv(w)
+    tw = V.pack([F.to_mont(1)])
+    for s in range(log_n):
+        shift = V.broadcast_scalar(
+            V.pack_scalar(F.to_mont(pow(w, 1 << s, F.P))), (1 << s,))
+        tw = jnp.concatenate([tw, V.mont_mul(tw, shift)], axis=1)
+    return tw
+
+
+@functools.cache
+def _cross_twiddles(log_n: int, log_n1: int, inverse: bool) -> jax.Array:
+    """(16, n) cross-twiddle matrix T[k1*n2 + j2] = w^{k1*j2} (Montgomery)."""
+    n = 1 << log_n
+    n1, n2 = 1 << log_n1, n >> log_n1
+    # one gather from the order-n power table, built once per size and
+    # cached on device (w^{k1*j2}, k1*j2 <= (n1-1)(n2-1) < n)
+    tw = _power_table_full(log_n, inverse)
+    idx = (np.arange(n1, dtype=np.int64)[:, None]
+           * np.arange(n2, dtype=np.int64)[None, :]).reshape(-1)
+    return jnp.take(tw, jnp.asarray(idx, dtype=jnp.int32), axis=1)
+
+
 def _ntt_core(x: jax.Array, log_n: int, inverse: bool) -> jax.Array:
-    tw = _twiddle_table(log_n, inverse)
-    rev = jnp.asarray(_bitrev_perm(log_n))
-    return _ntt_core_impl(x, tw, rev, log_n, inverse)
+    n_inv = V.pack_scalar(F.to_mont(F.inv(1 << log_n)))
+    if log_n <= FOUR_STEP_MIN_LOG:
+        tw = _twiddle_table(log_n, inverse)
+        rev = jnp.asarray(_bitrev_perm(log_n))
+        return _ntt_single(x, tw, rev, n_inv, log_n, inverse)
+    log_n1 = (log_n + 1) // 2
+    log_n2 = log_n - log_n1
+    return _ntt_four_step(
+        x, _twiddle_table(log_n1, inverse), jnp.asarray(_bitrev_perm(log_n1)),
+        _cross_twiddles(log_n, log_n1, inverse),
+        _twiddle_table(log_n2, inverse), jnp.asarray(_bitrev_perm(log_n2)),
+        n_inv, log_n1, log_n2, inverse)
 
 
 HOST_TAIL = int(os.environ.get("PROVEKIT_TPU_HOST_TAIL", "2048"))
@@ -136,42 +210,51 @@ def _dev(vals: list[int]) -> jax.Array:
     return V.pack([F.to_mont(v) for v in vals])
 
 
-def ntt(x: jax.Array) -> jax.Array:
-    """Forward NTT: coefficients -> evaluations at [w^0, w^1, ..., w^(n-1)]."""
+def ntt(x: jax.Array, device: bool = False) -> jax.Array:
+    """Forward NTT: coefficients -> evaluations at [w^0, w^1, ..., w^(n-1)].
+
+    ``device=True`` forces the on-device path at any size (the
+    device-resident prover must not sync; host tails fetch/put)."""
     n = x.shape[1]
-    if n <= HOST_TAIL and not isinstance(x, jax.core.Tracer):
+    if (not device and n <= HOST_TAIL
+            and not isinstance(x, jax.core.Tracer)):
         return _dev(_host_ntt(_host(x), n.bit_length() - 1, False))
     return _ntt_core(x, n.bit_length() - 1, False)
 
 
-def intt(x: jax.Array) -> jax.Array:
+def intt(x: jax.Array, device: bool = False) -> jax.Array:
     """Inverse NTT: evaluations -> coefficients."""
     n = x.shape[1]
-    if n <= HOST_TAIL and not isinstance(x, jax.core.Tracer):
+    if (not device and n <= HOST_TAIL
+            and not isinstance(x, jax.core.Tracer)):
         return _dev(_host_ntt(_host(x), n.bit_length() - 1, True))
     return _ntt_core(x, n.bit_length() - 1, True)
 
 
-def rs_encode(coeffs: jax.Array, log_domain: int) -> jax.Array:
+def rs_encode(coeffs: jax.Array, log_domain: int,
+              device: bool = False) -> jax.Array:
     """Reed-Solomon encode: zero-pad coefficients to 2^log_domain, NTT."""
     n = coeffs.shape[1]
     domain = 1 << log_domain
     assert domain >= n
-    if domain <= HOST_TAIL and not isinstance(coeffs, jax.core.Tracer):
+    if (not device and domain <= HOST_TAIL
+            and not isinstance(coeffs, jax.core.Tracer)):
         vals = _host(coeffs) + [0] * (domain - n)
         return _dev(_host_ntt(vals, log_domain, False))
     padded = jnp.pad(coeffs, [(0, 0), (0, domain - n)])
     return _ntt_core(padded, log_domain, False)
 
 
-def wavelet(evals: jax.Array, inverse: bool = False) -> jax.Array:
+def wavelet(evals: jax.Array, inverse: bool = False,
+            device: bool = False) -> jax.Array:
     """Multilinear evals <-> coeffs (Mobius transform), MSB-first variables.
 
     Forward (evals->coeffs): for each variable, hi -= lo.
     Inverse (coeffs->evals): hi += lo.
     """
     n = evals.shape[1]
-    if n <= HOST_TAIL and not isinstance(evals, jax.core.Tracer):
+    if (not device and n <= HOST_TAIL
+            and not isinstance(evals, jax.core.Tracer)):
         x = _host(evals)
         log_n = n.bit_length() - 1
         for s in range(log_n):
@@ -202,9 +285,9 @@ def _wavelet_dev(evals: jax.Array, inverse: bool = False) -> jax.Array:
     return x
 
 
-def coeffs_of_evals(evals: jax.Array) -> jax.Array:
-    return wavelet(evals, False)
+def coeffs_of_evals(evals: jax.Array, device: bool = False) -> jax.Array:
+    return wavelet(evals, False, device)
 
 
-def evals_of_coeffs(coeffs: jax.Array) -> jax.Array:
-    return wavelet(coeffs, True)
+def evals_of_coeffs(coeffs: jax.Array, device: bool = False) -> jax.Array:
+    return wavelet(coeffs, True, device)

@@ -70,6 +70,57 @@ def mont_mul_pallas(a: jax.Array, b: jax.Array) -> jax.Array:
     )(consts, a, b)
 
 
+def mont_mul_dispatch(a: jax.Array, b: jax.Array) -> jax.Array:
+    if (_pallas_enabled() and a.ndim == 2 and a.shape[1] >= 2048
+            and a.shape[1] % min(TILE, a.shape[1]) == 0):
+        return mont_mul_pallas(a, b)
+    return V.mont_mul(a, b)
+
+
+# ---------------------------------------------------------------------------
+# NTT butterfly (constant-geometry DIF stage)
+
+
+def _butterfly_kernel(consts_ref, a_ref, b_ref, tw_ref, u_ref, t_ref):
+    a, b = a_ref[:], b_ref[:]
+    u_ref[:] = V.add_mod.__wrapped__(a, b)
+    t_ref[:] = V.mont_mul_core(V.sub_mod.__wrapped__(a, b), tw_ref[:],
+                               consts_ref[0], consts_ref[1])
+
+
+@jax.jit
+def butterfly_pallas(a: jax.Array, b: jax.Array, tw: jax.Array):
+    """DIF butterfly: returns (a+b, (a-b)*tw) — one VMEM-resident pass.
+
+    The XLA lowering of mont_mul materializes (32, n) column intermediates
+    in HBM per limb step; fusing sub+mont_mul+add per tile keeps the whole
+    butterfly VMEM-resident (the NTT stage is the RS-encoding hot op).
+    """
+    n = a.shape[1]
+    tile = min(TILE, n)
+    assert n % tile == 0
+    import numpy as _np
+    consts = jnp.asarray(_np.stack([V.P_LIMBS, V.NPRIME256_LIMBS]))
+    spec = pl.BlockSpec((16, tile), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _butterfly_kernel,
+        grid=(n // tile,),
+        in_specs=[pl.BlockSpec((2, 16), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM), spec, spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((16, n), jnp.uint32),
+                   jax.ShapeDtypeStruct((16, n), jnp.uint32)),
+    )(consts, a, b, tw)
+
+
+def butterfly_dispatch(a: jax.Array, b: jax.Array, tw: jax.Array):
+    if (_pallas_enabled() and a.ndim == 2 and a.shape[1] >= 2048
+            and a.shape[1] % min(TILE, a.shape[1]) == 0):
+        return butterfly_pallas(a, b, tw)
+    return V.add_mod(a, b), V.mont_mul(V.sub_mod(a, b), tw)
+
+
 # ---------------------------------------------------------------------------
 # Skyscraper compression
 

@@ -84,6 +84,64 @@ def _less_than_mask(a: jax.Array, bound: int) -> jax.Array:
     return borrow == 1
 
 
+def _block_size(difficulty: float) -> int:
+    return 1 << min(26, max(12, int(difficulty) + 2))
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _solve_dev_jit(challenge: jax.Array, difficulty: float) -> jax.Array:
+    """Device grind: (16,1) canonical challenge -> (16,1) canonical nonce.
+
+    Same scan order as :func:`solve` (blocks of the same size, smallest
+    index within the first succeeding block), so host and device paths find
+    the SAME nonce — transcripts stay byte-identical.  Runs as a
+    ``while_loop`` entirely on device (no host sync per block).
+    """
+    from ..hash import skyscraper as S
+    block = _block_size(difficulty)
+    thresh = threshold(difficulty + PROVER_BIAS)
+    tl = [jnp.uint32((thresh >> (16 * i)) & 0xFFFF) for i in range(16)]
+    ch = jnp.broadcast_to(challenge, (16, block))
+    base = jnp.arange(block, dtype=jnp.uint32)
+
+    def nonce_limbs(offset):
+        lo = base + offset
+        limbs = [lo & jnp.uint32(0xFFFF), lo >> 16]
+        limbs += [jnp.zeros_like(lo)] * 14
+        return jnp.stack(limbs)
+
+    def attempt(offset):
+        hashes = S.compress_v.__wrapped__(ch, nonce_limbs(offset))
+        _, borrow = V._sub_bb(V._as_limb_list(hashes), tl)
+        mask = borrow == 1
+        return mask.any(), offset + jnp.argmax(mask).astype(jnp.uint32)
+
+    found0, nonce0 = attempt(jnp.uint32(0))
+
+    def cond(carry):
+        found, _, _ = carry
+        return ~found
+
+    def body(carry):
+        _, _, offset = carry
+        offset = offset + jnp.uint32(block)
+        found, nonce = attempt(offset)
+        return found, nonce, offset
+
+    found, nonce, _ = jax.lax.while_loop(
+        cond, body, (found0, nonce0, jnp.uint32(0)))
+    limbs = [nonce & jnp.uint32(0xFFFF), nonce >> 16]
+    limbs += [jnp.zeros((), jnp.uint32)] * 14
+    return jnp.stack(limbs).reshape(16, 1)
+
+
+def solve_dev(challenge: jax.Array, difficulty: float) -> jax.Array:
+    """(16,1) canonical device challenge -> (16,1) canonical device nonce."""
+    if difficulty == 0.0:
+        return jnp.zeros((16, 1), dtype=jnp.uint32)
+    return _solve_dev_jit(challenge, difficulty)
+
+
 def solve(challenge: int, difficulty: float, block: int | None = None,
           max_blocks: int = 1 << 14) -> int:
     """Find the smallest-in-block nonce satisfying the PoW condition.
@@ -95,8 +153,7 @@ def solve(challenge: int, difficulty: float, block: int | None = None,
     if difficulty == 0.0:
         return 0
     if block is None:
-        expect = 1 << min(26, max(12, int(difficulty) + 2))
-        block = expect
+        block = _block_size(difficulty)
     thresh = threshold(difficulty + PROVER_BIAS)
     ch = V.broadcast_scalar(V.pack_scalar(challenge), (block,))
     for blk in range(max_blocks):

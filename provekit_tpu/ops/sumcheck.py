@@ -323,6 +323,40 @@ def combine_eq_weights(coords_list: list[list[int]], coeffs: list[int],
     return _eq_combine_dev(rs, omrs, cf, m)
 
 
+def _pad_points(coords_m: jax.Array):
+    """(16, m, p) -> ((16, m, P2) rs, omrs, p) with zero-padded points."""
+    p = coords_m.shape[2]
+    p_pad = 1 << max(0, (p - 1).bit_length())
+    if p_pad > p:
+        coords_m = jnp.pad(coords_m, [(0, 0), (0, 0), (0, p_pad - p)])
+    one = jnp.broadcast_to(jnp.asarray(V.R_LIMBS)[:, None, None],
+                           coords_m.shape)
+    return coords_m, V.sub_mod(one, coords_m), p_pad
+
+
+def combine_eq_weights_dev(coords_m: jax.Array, coeffs_m: jax.Array,
+                           m: int) -> jax.Array:
+    """sum_i coeffs[i] * eq(coords_i, .) from DEVICE Montgomery inputs.
+
+    coords_m (16, m, p), coeffs_m (16, p) -> (16, 2^m) Montgomery table.
+    Device-scalar twin of :func:`combine_eq_weights` (no host sync)."""
+    p = coords_m.shape[2]
+    rs, omrs, p_pad = _pad_points(coords_m)
+    if p_pad > p:
+        coeffs_m = jnp.pad(coeffs_m, [(0, 0), (0, p_pad - p)])
+    return _eq_combine_dev(rs, omrs, coeffs_m, m)
+
+
+def eval_multilinear_batch_dev(evals: jax.Array,
+                               coords_m: jax.Array) -> jax.Array:
+    """MLE evaluations at device points: (16, m, p) -> (16, p) Montgomery."""
+    m = coords_m.shape[1]
+    p = coords_m.shape[2]
+    rs, omrs, p_pad = _pad_points(coords_m)
+    one = V.broadcast_scalar(jnp.asarray(V.R_LIMBS), (p_pad, 1))
+    return _eval_batch_dev(rs, omrs, one, evals, m)[:, :p]
+
+
 @functools.partial(jax.jit, static_argnums=(4,))
 def _eval_batch_dev(rs, omrs, start, evals, m: int):
     tables = _eq_batch_dev(rs, omrs, start, m)

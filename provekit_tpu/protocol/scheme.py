@@ -89,9 +89,11 @@ class WhirR1CSScheme:
         assert r1cs.num_witnesses <= 1 << self.m
         assert r1cs.num_constraints <= 1 << self.m_0
 
+        from ..fs.device import DeviceProverState
+        from ..fs import device as D
         from ..utils.profiling import span
         io = self.create_io_pattern()
-        tr = io.to_prover_state()
+        tr = DeviceProverState(io)
 
         with span("commit_witness"):
             padded = list(witness) + [0] * ((1 << (self.m - 1)) - len(witness))
@@ -105,7 +107,8 @@ class WhirR1CSScheme:
 
         # weights: eq_alpha^T A, B, C over witness columns
         with span("statement_weights"):
-            eq_alpha = sc.eq_table(out.alpha)[:, :r1cs.num_constraints]
+            eq_alpha = D.eq_table_dev(out.alpha, self.m_0)[
+                :, :r1cs.num_constraints]
             statement = Statement(self.m)
             f_sums, g_sums = [], []
             masked_arr = com.polys[0]
@@ -115,19 +118,22 @@ class WhirR1CSScheme:
                 pad_to = 1 << self.m
                 row_p = jnp.pad(row, [(0, 0), (0, pad_to - row.shape[1])])
                 w = DenseWeights(row_p, self.m)
-                f = w.weighted_sum(masked_arr)
-                g = w.weighted_sum(rand_arr)
+                f = sc.weighted_sum(row_p, masked_arr).reshape(16, 1)
+                g = sc.weighted_sum(row_p, rand_arr).reshape(16, 1)
                 f_sums.append(f)
                 g_sums.append(g)
                 statement.add_constraint(
-                    w, (f + com.batching_randomness * g) % F.P)
+                    w, V.add_mod(f, V.mont_mul(com.batching_randomness, g)))
 
-        hint = b"".join(F.to_bytes_le(v) for v in f_sums + g_sums)
-        tr.hint_bytes(hint)
+        sums_c = D.from_mont(jnp.concatenate(f_sums + g_sums, axis=1))
+        tr.hint_arrays(
+            lambda block: b"".join(F.to_bytes_le(v) for v in V.unpack(block)),
+            [sums_c])
 
         with span("whir_open_witness"):
             prover.prove(tr, self.whir_witness, com, statement)
-        return tr.narg_string()
+        with span("narg_fetch"):
+            return tr.narg_string()
 
     # -- verify ------------------------------------------------------------
 

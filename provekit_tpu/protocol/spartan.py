@@ -115,37 +115,50 @@ def add_zk_sumcheck_pattern(ds, m_0: int) -> None:
 
 @dataclass
 class SpartanProverOutput:
-    r: list[int]
-    alpha: list[int]
+    r: object        # (16, m_0) Montgomery device scalars
+    alpha: object    # (16, m_0) Montgomery device scalars
 
 
-def _blinding_statement(m_commit, alphas, masked, rand_poly, com):
-    """Statement over the blinding commitment with tensor-of-powers weights."""
-    w_vals = expand_powers(alphas)
+def _blinding_statement_dev(m_commit, alphas_m, com):
+    """Statement over the blinding commitment, device-scalar twin of the
+    tensor-of-powers weights (expand_powers): per alpha [1, a, a^2, a^3]."""
+    import jax.numpy as jnp
+    from ..fs import device as D
+    m_0 = alphas_m.shape[1]
+    a2 = D.mul(alphas_m, alphas_m)
+    a3 = D.mul(a2, alphas_m)
+    w = jnp.stack([D.one_m(m_0), alphas_m, a2, a3], axis=2
+                  ).reshape(16, 4 * m_0)
     size = 1 << m_commit
-    w_vals = w_vals + [0] * (size - len(w_vals))
-    f_sum = sum(w * v for w, v in zip(w_vals, masked)) % F.P
-    g_sum = sum(w * v for w, v in zip(w_vals, rand_poly)) % F.P
+    w = jnp.pad(w, [(0, 0), (0, size - w.shape[1])])
+    weights = DenseWeights(w, m_commit)
+    f_sum = sc.weighted_sum(w, com.polys[0]).reshape(16, 1)
+    g_sum = sc.weighted_sum(w, com.polys[1]).reshape(16, 1)
     stmt = Statement(m_commit)
-    weights = DenseWeights.from_ints(w_vals, m_commit)
-    sigma = (f_sum + com.batching_randomness * g_sum) % F.P
+    sigma = V.add_mod(f_sum, V.mont_mul(com.batching_randomness, g_sum))
     stmt.add_constraint(weights, sigma)
     return stmt, f_sum, g_sum
 
 
 def run_zk_sumcheck_prover(r1cs, z, transcript, m_0: int,
                            blinding_config: WhirConfig, rng=None):
-    """Port of ``run_zk_sumcheck_prover`` (prover/src/whir_r1cs.rs:228-369)."""
-    r = transcript.challenge_scalars(m_0)
+    """Port of ``run_zk_sumcheck_prover`` (prover/src/whir_r1cs.rs:228-369).
+
+    Device-resident: challenges, the fused m_0-round sumcheck, the blinding
+    statement, and the claimed sums all stay on device (fs.device)."""
+    from ..fs import device as D
+    import jax.numpy as jnp
+
+    r_c = transcript.challenge_scalars_dev(m_0)     # (16, m_0) canonical
+    r_m = D.to_mont(r_c)
     a, b, c = r1cs.witness_bounds(z)
     n = 1 << m_0
-    import jax.numpy as jnp
     pad = n - a.shape[1]
     if pad:
         a = jnp.pad(a, [(0, 0), (0, pad)])
         b = jnp.pad(b, [(0, 0), (0, pad)])
         c = jnp.pad(c, [(0, 0), (0, pad)])
-    eq = sc.eq_table(r)
+    eq = D.eq_table_dev(r_m, m_0)
 
     g_cubics = [[(rng.randrange(F.P) if rng is not None
                   else secrets.randbelow(F.P)) for _ in range(4)]
@@ -162,88 +175,38 @@ def run_zk_sumcheck_prover(r1cs, z, transcript, m_0: int,
 
     sum_g = sum_over_hypercube(g_cubics)
     transcript.add_scalars([sum_g])
-    rho = transcript.challenge_scalars(1)[0]
+    rho_m = D.to_mont(transcript.challenge_scalars_dev(1))
+    claim0 = D.mul(rho_m, D.const_m(sum_g))
 
-    claim = rho * sum_g % F.P
-    alphas: list[int] = []
-    abce = jnp.stack([a, b, c, eq], axis=1)  # one dispatch per round
+    abce = jnp.stack([a, b, c, eq], axis=1)
 
-    if n > sc.HOST_TAIL:
-        # fused: all m_0 rounds + sponge advance in one device dispatch
-        from ..ops import fused
-        st = transcript.sponge_state_array()
-        pms = [pow(2, m_0 - 1 - i, F.P) for i in range(m_0)]
-        sms = [p * F.HALF % F.P for p in pms]
-        sfx = []
-        for i in range(m_0):
-            s = 0
-            for g in g_cubics[i + 1:]:
-                s += eval_cubic(g, 0) + eval_cubic(g, 1)
-            sfx.append(s % F.P)
-        g_arr = V.pack([F.to_mont(x) for g in g_cubics for x in g]
-                       ).reshape(16, m_0, 4)
-        state2, coeffs_arr = fused.spartan_sumcheck_fused(
-            abce, st, V.pack([F.to_mont(claim)]),
-            V.pack([F.to_mont(rho)]),
-            g_arr,
-            V.pack([F.to_mont(p) for p in pms]),
-            V.pack([F.to_mont(s) for s in sms]),
-            V.pack([F.to_mont(s) for s in sfx]), m_0)
-        vals = V.unpack(coeffs_arr.reshape(16, m_0 * 4))
-        for i in range(m_0):
-            cs = vals[4 * i:4 * i + 4]
-            assert (2 * cs[0] + cs[1] + cs[2] + cs[3]) % F.P == claim
-            transcript.add_scalars(cs)
-            alpha_i = transcript.challenge_scalars(1)[0]
-            alphas.append(alpha_i)
-            claim = eval_cubic(cs, alpha_i)
-        stmt, f_sum, g_sum = _blinding_statement(
-            m_commit, alphas, masked, rand_poly, com)
-        transcript.add_scalars([f_sum, g_sum])
-        prover.prove(transcript, blinding_config, com, stmt)
-        return SpartanProverOutput(r=r, alpha=alphas)
+    from ..ops import fused
+    pms = [pow(2, m_0 - 1 - i, F.P) for i in range(m_0)]
+    sms = [p * F.HALF % F.P for p in pms]
+    sfx = []
+    for i in range(m_0):
+        s = 0
+        for g in g_cubics[i + 1:]:
+            s += eval_cubic(g, 0) + eval_cubic(g, 1)
+        sfx.append(s % F.P)
+    g_arr = V.pack([F.to_mont(x) for g in g_cubics for x in g]
+                   ).reshape(16, m_0, 4)
+    assert transcript.absorb_pos == 0
+    state2, coeffs_arr, alphas_c = fused.spartan_sumcheck_fused(
+        abce, transcript.state, claim0, rho_m, g_arr,
+        V.pack([F.to_mont(p) for p in pms]),
+        V.pack([F.to_mont(s) for s in sms]),
+        V.pack([F.to_mont(s) for s in sfx]), m_0)
+    transcript.replay_fused(
+        state2, [coeffs_arr[:, i, :] for i in range(m_0)],
+        [("A", 4), ("S", 1)] * m_0)
+    alphas_m = D.to_mont(alphas_c)
 
-    # host tail: ONE transfer in, all m_0 rounds in host ints (per-round
-    # device syncs are round-trip-bound on remote devices)
-    xs = [F.from_mont(v) for v in V.unpack(abce.reshape(16, 4 * n))]
-    av, bv, cv, ev = (xs[j * n:(j + 1) * n] for j in range(4))
-    for idx in range(m_0):
-        h = len(av) // 2
-        f0 = fm1 = finf = 0
-        for i in range(h):
-            a0, a1 = av[i], av[i + h]
-            b0, b1 = bv[i], bv[i + h]
-            c0_, c1_ = cv[i], cv[i + h]
-            e0, e1 = ev[i], ev[i + h]
-            f0 += e0 * (a0 * b0 - c0_)
-            fm1 += (2 * e0 - e1) * ((2 * a0 - a1) * (2 * b0 - b1)
-                                    - (2 * c0_ - c1_))
-            finf += (e1 - e0) * (a1 - a0) * (b1 - b0)
-        f0, fm1, finf = f0 % F.P, fm1 % F.P, finf % F.P
-
-        g_poly = blinding_coefficients_for_round(g_cubics, idx, alphas)
-        c0 = (f0 + rho * g_poly[0]) % F.P
-        g_at_m1 = (g_poly[0] - g_poly[1] + g_poly[2] - g_poly[3]) % F.P
-        comb_m1 = (fm1 + rho * g_at_m1) % F.P
-        c2 = HALF * (claim + comb_m1 - 3 * c0) % F.P
-        c3 = (finf + rho * g_poly[3]) % F.P
-        c1 = (claim - 2 * c0 - c3 - c2) % F.P
-        assert (2 * c0 + c1 + c2 + c3) % F.P == claim
-
-        transcript.add_scalars([c0, c1, c2, c3])
-        alpha_i = transcript.challenge_scalars(1)[0]
-        alphas.append(alpha_i)
-        av = [(av[i] + alpha_i * (av[i + h] - av[i])) % F.P for i in range(h)]
-        bv = [(bv[i] + alpha_i * (bv[i + h] - bv[i])) % F.P for i in range(h)]
-        cv = [(cv[i] + alpha_i * (cv[i + h] - cv[i])) % F.P for i in range(h)]
-        ev = [(ev[i] + alpha_i * (ev[i + h] - ev[i])) % F.P for i in range(h)]
-        claim = eval_cubic([c0, c1, c2, c3], alpha_i)
-
-    stmt, f_sum, g_sum = _blinding_statement(
-        m_commit, alphas, masked, rand_poly, com)
-    transcript.add_scalars([f_sum, g_sum])
+    stmt, f_sum, g_sum = _blinding_statement_dev(m_commit, alphas_m, com)
+    transcript.add_scalars_dev(D.from_mont(
+        jnp.concatenate([f_sum, g_sum], axis=1)))
     prover.prove(transcript, blinding_config, com, stmt)
-    return SpartanProverOutput(r=r, alpha=alphas)
+    return SpartanProverOutput(r=r_m, alpha=alphas_m)
 
 
 @dataclass

@@ -37,20 +37,9 @@ class ProverCommitment:
     combined: jax.Array    # (16, 2^m) gamma-combined evaluations
     encoding: jax.Array    # (16, k, N) per-poly RS encodings
     tree: merkle.MerkleTree
-    root: int
-    ood_points: list[int]
-    ood_answers: list[list[int]]  # [point][poly]
-    batching_randomness: int
-
-    def combined_ood_answers(self) -> list[int]:
-        out = []
-        for answers in self.ood_answers:
-            acc, g = 0, 1
-            for a in answers:
-                acc = (acc + g * a) % F.P
-                g = g * self.batching_randomness % F.P
-            out.append(acc)
-        return out
+    ood_points: jax.Array         # (16, s) canonical device scalars
+    ood_answers: jax.Array        # (16, s, k) Montgomery device scalars
+    batching_randomness: jax.Array  # (16, 1) Montgomery device scalar
 
 
 def commit_pattern(ds, config: WhirConfig, label: str = "") -> None:
@@ -65,7 +54,13 @@ def commit_pattern(ds, config: WhirConfig, label: str = "") -> None:
 
 
 def commit(transcript, config: WhirConfig, polys: list) -> ProverCommitment:
-    """Commit a batch of multilinear polys given by hypercube evaluations."""
+    """Commit a batch of multilinear polys given by hypercube evaluations.
+
+    Fully device-resident: the Merkle root is absorbed as a device scalar,
+    OOD points are squeezed on device, answers evaluated and absorbed on
+    device — zero host syncs (see fs.device).
+    """
+    from ..fs import device as D
     from ..utils.profiling import span
     assert len(polys) == config.batch_size
     m = config.num_variables
@@ -75,8 +70,9 @@ def commit(transcript, config: WhirConfig, polys: list) -> ProverCommitment:
         encs = []
         for evals in polys:
             assert evals.shape == (16, 1 << m)
-            coeffs = ntt.coeffs_of_evals(evals)
-            encs.append(ntt.rs_encode(coeffs, config.starting_log_domain))
+            coeffs = ntt.coeffs_of_evals(evals, device=True)
+            encs.append(ntt.rs_encode(coeffs, config.starting_log_domain,
+                                      device=True))
         encoding = jnp.stack(encs, axis=1)  # (16, k, N)
 
     n = encoding.shape[2]
@@ -85,36 +81,49 @@ def commit(transcript, config: WhirConfig, polys: list) -> ProverCommitment:
     leaves = leaves.reshape(16, len(polys) * fold_size, n // fold_size)
     # Skyscraper hashes canonical values (reference whir.rs:20-26 into_bigint)
     with span(f"merkle_m{m}"):
-        tree = merkle.commit(V.from_mont(leaves))
-    root = tree.root()
-    transcript.add_scalars([root])
+        tree = merkle.commit_dev(V.from_mont(leaves))
+    transcript.add_scalars_dev(merkle.root_dev(tree))
 
-    ood_points, ood_answers = [], []
-    if config.commitment_ood_samples:
-        ood_points = transcript.challenge_scalars(config.commitment_ood_samples)
-        coords_list = [univariate_to_multilinear_point(z, m)
-                       for z in ood_points]
-        per_poly = [sc.eval_multilinear_batch(ev, coords_list)
-                    for ev in polys]
-        flat = []
-        for i in range(len(ood_points)):
-            answers = [per_poly[k][i] for k in range(len(polys))]
-            ood_answers.append(answers)
-            flat.extend(answers)
-        transcript.add_scalars(flat)
+    s = config.commitment_ood_samples
+    k = len(polys)
+    if s:
+        ood_points = transcript.challenge_scalars_dev(s)   # (16, s) canonical
+        coords = D.univ_to_ml(D.to_mont(ood_points), m)    # (16, m, s)
+        per_poly = [sc.eval_multilinear_batch_dev(ev, coords)
+                    for ev in polys]                       # k x (16, s) mont
+        ood_answers = jnp.stack(per_poly, axis=2)          # (16, s, k)
+        # absorb order: per point, per poly
+        transcript.add_scalars_dev(
+            D.from_mont(ood_answers.reshape(16, s * k)))
+    else:
+        ood_points = jnp.zeros((16, 0), dtype=jnp.uint32)
+        ood_answers = jnp.zeros((16, 0, k), dtype=jnp.uint32)
 
-    gamma = 1
     if config.batch_size > 1:
-        gamma = transcript.challenge_scalars(1)[0]
+        gamma = D.to_mont(transcript.challenge_scalars_dev(1))
+    else:
+        gamma = D.one_m(1)
 
     combined = polys[0]
     g = gamma
     for ev in polys[1:]:
-        gb = V.broadcast_scalar(V.pack_scalar(F.to_mont(g)), ev.shape[1:])
-        combined = V.add_mod(combined, V.mont_mul(gb, ev))
-        g = g * gamma % F.P
+        combined = V.add_mod(combined, D.mul(g, ev))
+        g = D.mul(g, gamma)
 
     return ProverCommitment(
         config=config, polys=polys, combined=combined, encoding=encoding,
-        tree=tree, root=root, ood_points=ood_points, ood_answers=ood_answers,
+        tree=tree, ood_points=ood_points, ood_answers=ood_answers,
         batching_randomness=gamma)
+
+
+def combined_ood_answers_dev(com: ProverCommitment) -> jax.Array:
+    """gamma-combined OOD answers as (16, s) Montgomery device scalars."""
+    from ..fs import device as D
+    s = com.ood_answers.shape[1]
+    k = com.ood_answers.shape[2]
+    out = com.ood_answers[:, :, 0]
+    g = com.batching_randomness
+    for i in range(1, k):
+        out = V.add_mod(out, D.mul(g, com.ood_answers[:, :, i]))
+        g = D.mul(g, com.batching_randomness)
+    return out

@@ -98,9 +98,13 @@ class Statement:
         self.num_variables = num_variables
         self.constraints = []
 
-    def add_constraint(self, weights: Weights, sigma: int) -> None:
+    def add_constraint(self, weights: Weights, sigma) -> None:
+        """sigma: host int (verifier path) or (16,1) device scalar (the
+        device-resident prover never reads sigmas — they are verifier-side)."""
         assert weights.num_variables == self.num_variables
-        self.constraints.append((weights, sigma % F.P))
+        if isinstance(sigma, int):
+            sigma %= F.P
+        self.constraints.append((weights, sigma))
 
     def __len__(self) -> int:
         return len(self.constraints)

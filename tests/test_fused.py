@@ -42,7 +42,8 @@ def test_whir_segment_matches_per_round(monkeypatch):
     # fused: one dispatch + host replay
     tr2 = ds.to_prover_state()
     st = tr2.sponge_state_array()
-    fw2_full, st2, coeffs_arr = fused.whir_sumcheck_segment(fw, st, count)
+    fw2_full, st2, coeffs_arr, alphas_arr = fused.whir_sumcheck_segment(
+        fw, st, count)
     fw2 = fw2_full[:, :, :n >> count]
     vals = V.unpack(coeffs_arr.reshape(16, count * 3))
     alphas2 = []
@@ -52,14 +53,14 @@ def test_whir_segment_matches_per_round(monkeypatch):
         tr2.add_scalars(cs)
         alphas2.append(tr2.challenge_scalars(1)[0])
     assert alphas2 == alphas1
+    assert V.unpack(alphas_arr) == alphas1  # segment-returned challenges
     assert V.unpack(fw2.reshape(16, -1)) == V.unpack(fw1.reshape(16, -1))
     # device sponge state must equal host sponge state
     assert V.unpack(st2) == tr2.sponge.state
 
 
-def test_e2e_through_fused_paths(monkeypatch):
-    # force the fused kernels on by shrinking the host-tail threshold
-    monkeypatch.setattr(sc, "HOST_TAIL", 8)
+def test_e2e_through_fused_paths():
+    # the prover is always device-resident now; this exercises it end to end
     from provekit_tpu.protocol import WhirR1CSScheme
     from provekit_tpu.r1cs import R1CS
     from provekit_tpu.whir.verifier import WhirError

@@ -37,11 +37,13 @@ def build_proof(m=6, batch=2, n_constraints=2, seed=0, security=30):
     committer.commit_pattern(ds, config)
     prover.proof_pattern(ds, config)
 
-    tr = ds.to_prover_state()
+    from provekit_tpu.fs.device import DeviceProverState
+    from provekit_tpu.ops import merkle
+    tr = DeviceProverState(ds)
     com = committer.commit(tr, config, polys)
 
     # statement over the combined polynomial
-    gamma = com.batching_randomness
+    gamma = F.from_mont(V.unpack_scalar(com.batching_randomness))
     combined_ints = [0] * (1 << m)
     g = 1
     for p in polys_ints:
@@ -66,8 +68,10 @@ def test_whir_roundtrip_m6():
     config, ds, proof, statement, com, _ = build_proof(m=6, batch=2)
     tr = ds.to_verifier_state(proof)
     parsed = verifier.parse_commitment(tr, config)
-    assert parsed.root == com.root
-    assert parsed.batching_randomness == com.batching_randomness
+    from provekit_tpu.ops import merkle
+    assert parsed.root == V.unpack_scalar(merkle.root_dev(com.tree))
+    assert parsed.batching_randomness == F.from_mont(
+        V.unpack_scalar(com.batching_randomness))
     binders = verifier.verify(tr, config, parsed, statement)
     tr.finish()
     assert len(binders) == config.num_variables
