@@ -98,11 +98,13 @@ def _solve_dev_jit(challenge: jax.Array, difficulty: float) -> jax.Array:
     ``while_loop`` entirely on device (no host sync per block).
     """
     from ..hash import skyscraper as S
+    from . import pallas_kernels as PK
     block = _block_size(difficulty)
     thresh = threshold(difficulty + PROVER_BIAS)
     tl = [jnp.uint32((thresh >> (16 * i)) & 0xFFFF) for i in range(16)]
     ch = jnp.broadcast_to(challenge, (16, block))
     base = jnp.arange(block, dtype=jnp.uint32)
+    use_pallas = PK._pallas_enabled() and block >= 4096
 
     def nonce_limbs(offset):
         lo = base + offset
@@ -111,7 +113,11 @@ def _solve_dev_jit(challenge: jax.Array, difficulty: float) -> jax.Array:
         return jnp.stack(limbs)
 
     def attempt(offset):
-        hashes = S.compress_v.__wrapped__(ch, nonce_limbs(offset))
+        nl = nonce_limbs(offset)
+        if use_pallas:
+            hashes = PK.compress_pallas(ch, nl)
+        else:
+            hashes = S.compress_v.__wrapped__(ch, nl)
         _, borrow = V._sub_bb(V._as_limb_list(hashes), tl)
         mask = borrow == 1
         return mask.any(), offset + jnp.argmax(mask).astype(jnp.uint32)

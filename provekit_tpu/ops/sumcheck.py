@@ -157,12 +157,11 @@ def weighted_sum(weights: jax.Array, values: jax.Array) -> jax.Array:
 def eval_multilinear(evals: jax.Array, point: list[int]) -> int:
     """Evaluate an MLE given by hypercube evals at a point (MSB-first).
 
-    evals: (16, 2^m) Montgomery; returns a canonical host int.
+    evals: (16, 2^m) Montgomery; returns a canonical host int.  ONE device
+    dispatch + ONE fetch (a per-variable fold loop costs a ~30 ms transfer
+    round trip per variable on tunneled devices).
     """
-    x = evals
-    for p in point:
-        x = fold(x, V.pack_scalar(F.to_mont(p)))
-    return F.from_mont(V.unpack_scalar(x[:, 0]))
+    return eval_multilinear_batch(evals, [point])[0]
 
 
 def eval_cubic(coeffs: list[int], x: int) -> int:
