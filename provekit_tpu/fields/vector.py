@@ -56,11 +56,15 @@ PK_LIMBS = np.stack([_const_limbs(k * P) for k in range(4)])  # (4, 16); 3P < 2^
 
 
 def pack(values, batch_shape=None) -> jax.Array:
-    """List/iterable of ints (canonical, < P) -> (16, n) uint32 device array."""
+    """List/iterable of ints (canonical, < P) -> (16, n) uint32 device array.
+
+    Transfers uint16 limbs and widens on device — host->device bandwidth
+    (a ~150 MB/s tunnel under axon) is the cost driver for large batches.
+    """
     vals = list(values)
     blob = b"".join((v % P).to_bytes(32, "little") for v in vals)
     arr = np.frombuffer(blob, dtype="<u2").reshape(len(vals), NLIMBS)
-    out = jnp.asarray(arr.T.astype(np.uint32))
+    out = jnp.asarray(np.ascontiguousarray(arr.T)).astype(jnp.uint32)
     if batch_shape is not None:
         out = out.reshape((NLIMBS, *batch_shape))
     return out
@@ -77,6 +81,25 @@ def unpack(arr) -> list[int]:
     blob = a.T.astype("<u2").tobytes()
     return [int.from_bytes(blob[32 * i:32 * (i + 1)], "little")
             for i in range(a.shape[1])]
+
+
+def to_bytes_le_block(arr, check_canonical: bool = False) -> bytes:
+    """(16, n) canonical limb array -> n*32 bytes (32-byte LE scalars).
+
+    Vectorized equivalent of ``b"".join(F.to_bytes_le(v) for v in unpack(arr))``
+    — the transcript-assembly hot path runs on numpy, not per-int Python.
+    """
+    a = np.asarray(jax.device_get(arr)).reshape(NLIMBS, -1)
+    if check_canonical and a.shape[1]:
+        lt = np.zeros(a.shape[1], dtype=bool)
+        decided = np.zeros(a.shape[1], dtype=bool)
+        for i in range(NLIMBS - 1, -1, -1):
+            pi = int(P_LIMBS[i])
+            lt |= ~decided & (a[i] < pi)
+            decided |= a[i] != pi
+        if not lt.all():
+            raise AssertionError("non-canonical scalar in limb block")
+    return a.T.astype("<u2").tobytes()
 
 
 def unpack_scalar(arr) -> int:

@@ -299,10 +299,8 @@ class DeviceProverState:
         narg = bytearray()
         for entry in self._order:
             if entry[0] == "A":
-                vals = V.unpack(next_block())
-                for v in vals:
-                    assert v < F.P, "device sponge emitted non-canonical scalar"
-                    narg += F.to_bytes_le(v)
+                narg += V.to_bytes_le_block(next_block(),
+                                            check_canonical=True)
             elif entry[0] == "HB":
                 narg += len(entry[1]).to_bytes(4, "little")
                 narg += entry[1]

@@ -34,19 +34,14 @@ from . import sumcheck as sc
 
 
 def _permute_state(state: jax.Array) -> jax.Array:
-    """Duplex permute of a (16, 2) canonical state (fori ladder + select)."""
-    rc = jnp.asarray(S._RC_LIMBS)  # (18, 16)
+    """Duplex permute of a (16, 2) canonical state.
 
-    def body(k, st):
-        l, r = st[:, :1], st[:, 1:]
-        f_sq = V.mont_mul(l, l)
-        f_bar = S._bar_v.__wrapped__(l)
-        is_bar = (k == 6) | (k == 7) | (k == 10) | (k == 11)
-        f = jnp.where(is_bar, f_bar, f_sq)
-        nl = V.add_mod(V.add_mod(r, f), rc[k][:, None])
-        return jnp.concatenate([nl, l], axis=1)
-
-    return jax.lax.fori_loop(0, 18, body, state)
+    On TPU this is a single VMEM-resident Pallas kernel (~20 us); the XLA
+    lowering of the 18-round ladder costs ~1.8 ms in latency-bound tiny-op
+    HBM round-trips, and a prove performs hundreds of sequential permutes."""
+    from . import pallas_kernels as PK
+    l, r = PK.permute_dispatch(state[:, :1], state[:, 1:])
+    return jnp.concatenate([l, r], axis=1)
 
 
 def _absorb_seq(state: jax.Array, units: list) -> jax.Array:

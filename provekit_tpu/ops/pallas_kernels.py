@@ -162,14 +162,57 @@ def compress_pallas(l: jax.Array, r: jax.Array) -> jax.Array:
 
 
 def compress_dispatch(l: jax.Array, r: jax.Array) -> jax.Array:
-    """compress_v with the Pallas fast path for large power-of-two batches.
+    """compress_v with the Pallas fast path for power-of-two batches.
 
     Measured on TPU v5e at n=2^18: 1.75 G compress/s (Pallas, VMEM-resident
-    rounds) vs 0.83 G/s (XLA, HBM round-trips between rounds).
+    rounds) vs 0.83 G/s (XLA, HBM round-trips between rounds).  Small
+    batches (Merkle tree tops, sponge-adjacent hashing) also go through
+    Pallas: the XLA lowering of one 18-round permute costs ~1.8 ms of
+    latency-bound HBM round-trips, the VMEM-resident kernel ~20 us.
     """
     from ..hash import skyscraper as S
     n = l.shape[-1]
-    if (_pallas_enabled() and l.ndim == 2 and n >= 4096
+    if (_pallas_enabled() and l.ndim == 2
             and n % min(TILE, n) == 0 and (n & (n - 1)) == 0):
         return compress_pallas(l, r)
     return S.compress_v(l, r)
+
+
+# ---------------------------------------------------------------------------
+# Skyscraper permutation (sponge step) — tiny-batch latency path
+
+
+def _permute_kernel(rc_ref, consts_ref, l_ref, r_ref, lo_ref, ro_ref):
+    from ..hash import skyscraper as S
+    l, r = S._permute_core(l_ref[:], r_ref[:], lambda k: rc_ref[k, :],
+                           consts_ref[0], consts_ref[1])
+    lo_ref[:] = l
+    ro_ref[:] = r
+
+
+@jax.jit
+def permute_pallas(l: jax.Array, r: jax.Array):
+    from ..hash import skyscraper as S
+    n = l.shape[1]
+    rc = jnp.asarray(S._RC_LIMBS)
+    import numpy as _np
+    consts = jnp.asarray(_np.stack([V.P_LIMBS, V.NPRIME256_LIMBS]))
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _permute_kernel,
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((16, n), jnp.uint32),
+                   jax.ShapeDtypeStruct((16, n), jnp.uint32)),
+    )(rc, consts, l, r)
+
+
+def permute_dispatch(l: jax.Array, r: jax.Array):
+    """Sponge permutation: VMEM-resident Pallas kernel on TPU, XLA fallback.
+
+    The Fiat-Shamir sponge is a single-lane sequential chain — per-permute
+    latency (not throughput) gates the prover; see fs.device."""
+    from ..hash import skyscraper as S
+    if _pallas_enabled() and l.ndim == 2:
+        return permute_pallas(l, r)
+    return S.permute_v.__wrapped__(l, r)

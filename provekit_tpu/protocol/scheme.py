@@ -96,12 +96,13 @@ class WhirR1CSScheme:
         tr = DeviceProverState(io)
 
         with span("commit_witness"):
-            padded = list(witness) + [0] * ((1 << (self.m - 1)) - len(witness))
-            com, masked, rand_poly = spartan.batch_commit_to_polynomial(
+            z = V.to_mont(V.pack(witness))  # Montgomery conversion on device
+            padded = jnp.pad(
+                z, [(0, 0), (0, (1 << (self.m - 1)) - len(witness))])
+            com = spartan.batch_commit_to_polynomial(
                 self.m, self.whir_witness, padded, tr, rng)
 
         with span("zk_spartan_sumcheck"):
-            z = V.pack([F.to_mont(v) for v in witness])
             out = spartan.run_zk_sumcheck_prover(
                 r1cs, z, tr, self.m_0, self.whir_for_hiding_spartan, rng)
 
@@ -126,9 +127,7 @@ class WhirR1CSScheme:
                     w, V.add_mod(f, V.mont_mul(com.batching_randomness, g)))
 
         sums_c = D.from_mont(jnp.concatenate(f_sums + g_sums, axis=1))
-        tr.hint_arrays(
-            lambda block: b"".join(F.to_bytes_le(v) for v in V.unpack(block)),
-            [sums_c])
+        tr.hint_arrays(V.to_bytes_le_block, [sums_c])
 
         with span("whir_open_witness"):
             prover.prove(tr, self.whir_witness, com, statement)

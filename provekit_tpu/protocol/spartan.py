@@ -17,9 +17,11 @@ host code does the tiny cubic-coefficient algebra and the sponge.
 
 from __future__ import annotations
 
+import functools
 import secrets
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 
 from ..fields import bn254 as F
@@ -79,29 +81,53 @@ def expand_powers(values):
     return out
 
 
-def random_evals(num_vars: int, rng=None) -> list[int]:
-    rb = rng.randrange if rng is not None else (
-        lambda p: secrets.randbelow(p))
-    return [rb(F.P) for _ in range(1 << num_vars)]
+@jax.jit
+def _reduce_512_dev(limbs):
+    """(32, n) uint16-limb 512-bit values -> (16, n) uniform field elements.
+
+    x = hi*2^256 + lo; x mod P = mont_mul(hi, R^2) + reduce_256(lo)
+    (mont_mul(hi, R2) = hi*R2/R = hi*2^256 mod P).  Bias 2^-258.
+    """
+    lo, hi = limbs[:16], limbs[16:]
+    r2 = V.broadcast_scalar(jnp.asarray(V.R2_LIMBS), lo.shape[1:])
+    return V.add_mod(V.reduce_256(lo), V.mont_mul(hi, r2))
 
 
-def batch_commit_to_polynomial(m, whir_config, poly_evals_ints, transcript,
+@functools.partial(jax.jit, static_argnums=(1,))
+def _random_mont_jit(key, n: int):
+    bits = jax.random.bits(key, (16, n), jnp.uint32)  # 512 bits / element
+    limbs = jnp.concatenate([bits & jnp.uint32(0xFFFF), bits >> 16], axis=0)
+    return _reduce_512_dev(limbs)
+
+
+def random_mont_dev(n: int, rng=None):
+    """(16, n) uniform field elements (Montgomery form), device-resident.
+
+    Replaces per-element host ``rng.randrange(P)`` (the reference's
+    thread_rng in zk_utils.rs) with an on-device threefry draw reduced mod P
+    (bias 2^-258) — zero host->device transfer (the tunnel moves ~150 MB/s,
+    so shipping 2^17 mask elements would cost ~100 ms).  Uniform canonical
+    is uniform in Montgomery form too; masks are never needed as host ints.
+    """
+    seed = (rng.getrandbits(63) if rng is not None else secrets.randbits(63))
+    return _random_mont_jit(jax.random.PRNGKey(seed), n)
+
+
+def batch_commit_to_polynomial(m, whir_config, poly_mont, transcript,
                                rng=None):
     """Commit [poly || mask] and a fresh random polynomial as a batch of two.
 
     Port of ``batch_commit_to_polynomial`` (prover/src/whir_r1cs.rs:182-209):
     hides the polynomial behind a one-variable-extended mask, plus a fully
-    random companion for batching-randomness hiding.
+    random companion for batching-randomness hiding.  ``poly_mont`` is a
+    (16, 2^(m-1)) Montgomery device array.
     """
-    nv = len(poly_evals_ints).bit_length() - 1
-    assert len(poly_evals_ints) == 1 << nv and m == nv + 1
-    mask = random_evals(nv, rng)
-    masked = list(poly_evals_ints) + mask
-    rand_poly = random_evals(m, rng)
-    masked_arr = V.pack([F.to_mont(v) for v in masked])
-    rand_arr = V.pack([F.to_mont(v) for v in rand_poly])
-    com = committer.commit(transcript, whir_config, [masked_arr, rand_arr])
-    return com, masked, rand_poly
+    nv = poly_mont.shape[1].bit_length() - 1
+    assert poly_mont.shape[1] == 1 << nv and m == nv + 1
+    mask = random_mont_dev(1 << nv, rng)
+    masked_arr = jnp.concatenate([poly_mont, mask], axis=1)
+    rand_arr = random_mont_dev(1 << m, rng)
+    return committer.commit(transcript, whir_config, [masked_arr, rand_arr])
 
 
 def add_zk_sumcheck_pattern(ds, m_0: int) -> None:
@@ -170,8 +196,8 @@ def run_zk_sumcheck_prover(r1cs, z, transcript, m_0: int,
     m_commit = nv + 1
     assert blinding_config.num_variables == m_commit, \
         (blinding_config.num_variables, m_commit)
-    com, masked, rand_poly = batch_commit_to_polynomial(
-        m_commit, blinding_config, flat, transcript, rng)
+    com = batch_commit_to_polynomial(
+        m_commit, blinding_config, V.to_mont(V.pack(flat)), transcript, rng)
 
     sum_g = sum_over_hypercube(g_cubics)
     transcript.add_scalars([sum_g])

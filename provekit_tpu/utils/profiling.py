@@ -8,9 +8,25 @@ JAX device memory stats.
 
 from __future__ import annotations
 
+import os
 import time
 from contextlib import contextmanager
 from dataclasses import dataclass, field
+
+# When set, every span exit enqueues a trivial device op and blocks on it.
+# TPU PJRT executes one in-order stream per device, so this drains all work
+# dispatched inside the span — true per-stage device times instead of async
+# dispatch times (at the cost of losing cross-stage overlap).
+_SYNC = bool(os.environ.get("PROVEKIT_TPU_SYNC_SPANS"))
+
+
+def _drain_device() -> None:
+    try:
+        import jax
+        import jax.numpy as jnp
+        (jnp.zeros((8,), jnp.uint32) + 1).block_until_ready()
+    except Exception:
+        pass
 
 
 @dataclass
@@ -45,6 +61,8 @@ class SpanTree:
         try:
             yield s
         finally:
+            if _SYNC:
+                _drain_device()
             s.elapsed = time.perf_counter() - s.start
             s.mem_delta = _device_mem() - mem0
             self.stack.pop()

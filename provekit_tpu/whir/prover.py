@@ -29,7 +29,6 @@ from ..ops import merkle, ntt
 from ..ops import pow as pow_mod
 from ..ops import sumcheck as sc
 from .committer import ProverCommitment, fold_leaves_view
-from .hints import serialize_openings
 from .parameters import WhirConfig
 from .statement import Statement
 
@@ -70,18 +69,22 @@ def _openings_builder(leaf_elems: int, depth: int):
     to the old host path (sorted(set(indices)) order)."""
 
     def build(idx_sorted, leaf_block, path_block):
+        import numpy as np
         q = len(idx_sorted)
-        leaf_vals = V.unpack(leaf_block)    # q * leaf_elems canonical ints
-        path_vals = V.unpack(path_block)    # depth * q (level-major)
-        indices, leaf_values, paths = [], [], []
-        for j in range(q):
-            if j > 0 and idx_sorted[j] == idx_sorted[j - 1]:
-                continue
-            indices.append(int(idx_sorted[j]))
-            leaf_values.append(
-                leaf_vals[j * leaf_elems:(j + 1) * leaf_elems])
-            paths.append([path_vals[d * q + j] for d in range(depth)])
-        return serialize_openings(indices, leaf_values, paths)
+        keep = np.ones(q, dtype=bool)
+        keep[1:] = idx_sorted[1:] != idx_sorted[:-1]
+        leaf = np.asarray(leaf_block).reshape(16, q, leaf_elems)[:, keep, :]
+        path = np.asarray(path_block).reshape(16, depth, q)[:, :, keep]
+        n = int(keep.sum())
+        out = bytearray()
+        out += n.to_bytes(4, "little")
+        out += np.ascontiguousarray(
+            idx_sorted[keep].astype("<u4")).tobytes()
+        # scalars in (entry, elem) order == reference serialize_openings
+        out += V.to_bytes_le_block(leaf.reshape(16, n * leaf_elems))
+        out += V.to_bytes_le_block(
+            path.transpose(0, 2, 1).reshape(16, n * depth))
+        return bytes(out)
 
     return build
 

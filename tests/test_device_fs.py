@@ -69,5 +69,5 @@ def test_proof_bytes_regression():
     scheme = tiny_scheme(r1cs, security=3, folding=2, max_pow=2)
     proof = scheme.prove(r1cs, witness, rng=random.Random(11))
     assert hashlib.sha256(proof).hexdigest() == (
-        "f0951cbfb2f5d4f8d0c1d30d74535ef15d92247e23648614913a9cd01695dc06")
+        "8b3f20088efec6f8c0764954d93e62c9369aac6bcf72c5910db5e5ef42845dd4")
     scheme.verify(r1cs, proof)
