@@ -77,8 +77,11 @@ def test_whir_roundtrip_m6():
     assert len(binders) == config.num_variables
 
 
+@pytest.mark.slow
 def test_whir_roundtrip_m9_single():
     # m=9: 1 full round + final sumcheck rounds (9 = 4 + 4 + 1)
+    # ~5 min on CPU (limb emulation); multi-round coverage also comes from
+    # test_e2e / test_device_fs which run the full m=11 pipeline.
     config, ds, proof, statement, com, _ = build_proof(
         m=9, batch=1, n_constraints=1, seed=3)
     assert config.n_rounds == 1 and config.final_sumcheck_rounds == 1
