@@ -10,7 +10,7 @@ vs_baseline is null until a reference measurement exists on comparable
 hardware; see BASELINE.md.
 
 Env knobs: BENCH_HASHES (default 100), BENCH_SECURITY (default 100),
-BENCH_MAX_POW (default 16).
+BENCH_MAX_POW (default 16), BENCH_CIRCUIT (poseidon | p256 | sha256).
 """
 
 import json
@@ -20,16 +20,33 @@ import sys
 import time
 
 
+def build_circuit(kind: str, n_hashes: int):
+    if kind == "p256":
+        # ECDSA verify, the noir-examples/p256_std workload (~600k constraints)
+        from provekit_tpu.circuits import p256
+        pub, r, s, h = p256.ecdsa_test_vector(seed=1, nbits=256)
+        program, acir_values = p256.ecdsa_verify_circuit(pub, r, s, h)
+        return program, acir_values, "p256-ecdsa-verify"
+    if kind == "sha256":
+        from provekit_tpu.circuits import sha256
+        program, acir_values, _ = sha256.chain_circuit(n_blocks=n_hashes // 10
+                                                       or 1)
+        return program, acir_values, f"sha256-chain x{n_hashes // 10 or 1}"
+    from provekit_tpu.circuits import poseidon
+    program, acir_values, _ = poseidon.hash_chain_circuit(n_hashes)
+    return program, acir_values, f"poseidon2-chain x{n_hashes}"
+
+
 def main():
     n_hashes = int(os.environ.get("BENCH_HASHES", 100))
     security = int(os.environ.get("BENCH_SECURITY", 100))
     max_pow = int(os.environ.get("BENCH_MAX_POW", 16))
+    kind = os.environ.get("BENCH_CIRCUIT", "poseidon")
 
-    from provekit_tpu.circuits import poseidon
     from provekit_tpu.compiler import NoirProofScheme
 
     t0 = time.perf_counter()
-    program, acir_values, _ = poseidon.hash_chain_circuit(n_hashes)
+    program, acir_values, workload = build_circuit(kind, n_hashes)
     scheme = NoirProofScheme.from_program(
         program, security_level=security, max_pow_bits=max_pow)
     prepare_s = time.perf_counter() - t0
@@ -63,7 +80,7 @@ def main():
         "value": round(cps, 1),
         "unit": "constraints/s",
         "vs_baseline": None,
-        "workload": f"poseidon2-chain x{n_hashes}",
+        "workload": workload,
         "prove_seconds": round(prove_s, 3),
         "verify_seconds": round(verify_s, 3),
         "witness_solve_seconds": round(solve_s, 3),
