@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..fields import bn254 as F
 from ..fields import vector as V
-from ..fields.wide import segment_sum_mod
+from ..fields.wide import segment_sum_mod_split, split_oversized_segments
 
 
 class Interner:
@@ -84,13 +84,24 @@ class SparseMatrix:
 
     def frozen(self) -> "FrozenMatrix":
         if self._frozen is None:
-            rows = jnp.asarray(np.asarray(self.rows, dtype=np.int32))
-            cols = jnp.asarray(np.asarray(self.cols, dtype=np.int32))
+            rows_np = np.asarray(self.rows, dtype=np.int32)
+            cols_np = np.asarray(self.cols, dtype=np.int32)
+            # pre-split segments with > 2^15 entries (LogUp sum rows; the
+            # constant-one column) so device segment sums cannot overflow
+            row_ids, row_extra = split_oversized_segments(
+                rows_np, self.num_rows)
+            col_ids, col_extra = split_oversized_segments(
+                cols_np, self.num_cols)
             table = V.pack([F.to_mont(v) for v in self.interner.values])
             vids = jnp.asarray(np.asarray(self.value_ids, dtype=np.int32))
             vals = table[:, vids] if self.nnz else V.zeros((0,))
-            self._frozen = FrozenMatrix(rows, cols, vals,
-                                        self.num_rows, self.num_cols)
+            self._frozen = FrozenMatrix(
+                jnp.asarray(rows_np), jnp.asarray(cols_np), vals,
+                self.num_rows, self.num_cols,
+                jnp.asarray(row_ids),
+                None if row_extra is None else jnp.asarray(row_extra),
+                jnp.asarray(col_ids),
+                None if col_extra is None else jnp.asarray(col_extra))
         return self._frozen
 
     def mul_right(self, z: jax.Array) -> jax.Array:
@@ -112,6 +123,12 @@ class FrozenMatrix:
     vals: jax.Array  # (16, nnz) Montgomery
     num_rows: int
     num_cols: int
+    # segment ids with oversized segments pre-split (see fields/wide.py);
+    # *_extra maps overflow sub-segment -> parent, or None
+    row_seg_ids: jax.Array = None
+    row_extra: jax.Array = None
+    col_seg_ids: jax.Array = None
+    col_extra: jax.Array = None
 
     def _host_mul(self, vec: jax.Array, by, out_len: int) -> jax.Array:
         vv = [F.from_mont(v) for v in V.unpack(vec)]
@@ -132,14 +149,18 @@ class FrozenMatrix:
                 z, jax.core.Tracer):
             return self._host_mul(z, "rows", self.num_rows)
         prods = V.mont_mul(self.vals, z[:, self.cols])
-        return segment_sum_mod(prods, self.rows, self.num_rows)
+        ids = self.rows if self.row_seg_ids is None else self.row_seg_ids
+        return segment_sum_mod_split(prods, ids, self.row_extra,
+                                     self.num_rows)
 
     def mul_left(self, e: jax.Array) -> jax.Array:
         if self.rows.shape[0] <= HOST_TAIL_NNZ and not isinstance(
                 e, jax.core.Tracer):
             return self._host_mul(e, "cols", self.num_cols)
         prods = V.mont_mul(self.vals, e[:, self.rows])
-        return segment_sum_mod(prods, self.cols, self.num_cols)
+        ids = self.cols if self.col_seg_ids is None else self.col_seg_ids
+        return segment_sum_mod_split(prods, ids, self.col_extra,
+                                     self.num_cols)
 
 
 class R1CS:

@@ -107,3 +107,42 @@ def test_masks(rng):
     assert list(np.asarray(V.is_zero_mask(a))) == [True, False, True, False]
     b = V.pack([0, 5, 1, 2])
     assert list(np.asarray(V.eq_mask(a, b))) == [True, True, False, False]
+
+
+def test_segment_sum_oversized_segments(rng):
+    """Segments beyond 2^16 terms must not overflow the u32 limb planes.
+
+    Regression: LogUp balance rows sum one inverse per looked-up witness —
+    hundreds of thousands of terms in one row for 256-bit ECDSA circuits —
+    and the constant-one column appears in most constraints on the
+    transpose side.  (fields/wide.py split_oversized_segments)
+    """
+    from provekit_tpu.fields.wide import (segment_sum_mod_split,
+                                          split_oversized_segments)
+    big = 70_000  # > 2^16
+    vals = [rng.randrange(F.P) for _ in range(64)]
+    ids = np.concatenate([np.zeros(big, dtype=np.int32),
+                          np.arange(len(vals), dtype=np.int32)])
+    x = rng.randrange(F.P)
+    prods = V.pack([F.to_mont(x)] * big + [F.to_mont(v) for v in vals])
+    new_ids, extra = split_oversized_segments(ids, len(vals))
+    assert extra is not None and extra.size > 0
+    out = segment_sum_mod_split(prods, jnp.asarray(new_ids),
+                                jnp.asarray(extra), len(vals))
+    got = [F.from_mont(c) for c in V.unpack(out)]
+    assert got[0] == (big * x + vals[0]) % F.P
+    assert got[1:] == [v % F.P for v in vals[1:]]
+
+
+def test_from_mont_chunked_matches(rng):
+    vals = [rng.randrange(F.P) for _ in range(1000)]
+    a = V.pack([F.to_mont(v) for v in vals])
+    got = V.from_mont_chunked(a, max_elems=64)
+    want = V.from_mont(a)
+    assert bool(jnp.all(V.eq_mask(got, want)))
+    # shape with extra batch dims
+    b = a[:, :990].reshape(16, 10, 99)
+    got2 = V.from_mont_chunked(b, max_elems=128)
+    assert got2.shape == b.shape
+    assert bool(jnp.all(V.eq_mask(got2.reshape(16, 990),
+                                  want[:, :990])))
