@@ -354,6 +354,30 @@ def from_mont(a: jax.Array) -> jax.Array:
     return mont_mul(a, one)
 
 
+def from_mont_chunked(a: jax.Array, max_elems: int = 1 << 19) -> jax.Array:
+    """``from_mont`` with bounded peak memory for huge arrays.
+
+    ``mont_mul`` materializes ~6 live (32, batch) u32 column temporaries;
+    on multi-million-element batches (WHIR leaf matrices at m=20+) that
+    peaks at several GB of HBM.  Sequentially mapping 2^19-element chunks
+    caps the transient working set at ~100 MB without changing results.
+    """
+    batch = 1
+    for d in a.shape[1:]:
+        batch *= d
+    if batch <= max_elems:
+        return from_mont(a)
+    flat = a.reshape(NLIMBS, batch)
+    nch = -(-batch // max_elems)
+    pad = nch * max_elems - batch
+    if pad:
+        flat = jnp.pad(flat, [(0, 0), (0, pad)])
+    chunks = jnp.moveaxis(flat.reshape(NLIMBS, nch, max_elems), 1, 0)
+    out = jax.lax.map(from_mont, chunks)
+    out = jnp.moveaxis(out, 0, 1).reshape(NLIMBS, nch * max_elems)
+    return out[:, :batch].reshape(a.shape)
+
+
 @jax.jit
 def mul_std(a: jax.Array, b: jax.Array) -> jax.Array:
     """Canonical-form product: a*b mod P for canonical (non-Montgomery) inputs."""

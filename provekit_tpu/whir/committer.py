@@ -81,7 +81,7 @@ def commit(transcript, config: WhirConfig, polys: list) -> ProverCommitment:
     leaves = leaves.reshape(16, len(polys) * fold_size, n // fold_size)
     # Skyscraper hashes canonical values (reference whir.rs:20-26 into_bigint)
     with span(f"merkle_m{m}"):
-        tree = merkle.commit_dev(V.from_mont(leaves))
+        tree = merkle.commit_dev(V.from_mont_chunked(leaves))
     transcript.add_scalars_dev(merkle.root_dev(tree))
 
     s = config.commitment_ood_samples

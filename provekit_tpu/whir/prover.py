@@ -183,7 +183,7 @@ def prove(transcript, config: WhirConfig, commitment: ProverCommitment,
             enc = ntt.rs_encode(coeffs_arr, log_dom, device=True)
             rfold = 1 << rc.folding_factor
             leaves = fold_leaves_view(enc, rfold)
-            tree = merkle.commit_dev(V.from_mont(leaves))
+            tree = merkle.commit_dev(V.from_mont_chunked(leaves))
             transcript.add_scalars_dev(merkle.root_dev(tree))
 
         m_cur = m - iff - rc.folding_factor * r
