@@ -10,7 +10,8 @@ vs_baseline is null until a reference measurement exists on comparable
 hardware; see BASELINE.md.
 
 Env knobs: BENCH_HASHES (default 100), BENCH_SECURITY (default 100),
-BENCH_MAX_POW (default 16), BENCH_CIRCUIT (poseidon | p256 | sha256).
+BENCH_MAX_POW (default 16), BENCH_CIRCUIT (poseidon | p256 | sha256 |
+passport).
 """
 
 import json
@@ -27,6 +28,14 @@ def build_circuit(kind: str, n_hashes: int):
         pub, r, s, h = p256.ecdsa_test_vector(seed=1, nbits=256)
         program, acir_values = p256.ecdsa_verify_circuit(pub, r, s, h)
         return program, acir_values, "p256-ecdsa-verify"
+    if kind == "passport":
+        # composed flagship: sha256 + ROM reads + date checks + P-256 ECDSA
+        # (noir-passport-examples/complete_age_check counterpart)
+        from provekit_tpu.circuits import passport
+        dg1, sod, off, date, age, sig = passport.passport_test_vector(seed=1)
+        program, acir_values = passport.passport_circuit(
+            dg1, sod, off, date, age, signature=sig)
+        return program, acir_values, "passport-age-check"
     if kind == "sha256":
         from provekit_tpu.circuits import sha256
         program, acir_values, _ = sha256.chain_circuit(n_blocks=n_hashes // 10

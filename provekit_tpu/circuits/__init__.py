@@ -1,3 +1,3 @@
 from . import poseidon
 
-__all__ = ["poseidon"]
+__all__ = ["poseidon", "sha256", "p256", "passport"]

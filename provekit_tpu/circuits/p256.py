@@ -40,6 +40,7 @@ from dataclasses import dataclass
 
 from ..acir import model as acir
 from ..fields import bn254 as F
+from .sha256 import _Builder as _Sha256Builder
 
 # --- P-256 parameters -------------------------------------------------------
 
@@ -122,22 +123,10 @@ def ecdsa_sign(h: int, d: int, k: int):
 # --- circuit builder ---------------------------------------------------------
 
 
-class Builder:
-    """ACIR builder with value tracking (AssertZero + BlackBoxRange)."""
-
-    def __init__(self):
-        self.opcodes: list = []
-        self.values: dict[int, int] = {}
-        self.next_witness = 0
-
-    def new_witness(self, value: int) -> acir.Witness:
-        w = acir.Witness(self.next_witness)
-        self.values[self.next_witness] = value % F.P
-        self.next_witness += 1
-        return w
-
-    def val(self, w: acir.Witness) -> int:
-        return self.values[w.index]
+class Builder(_Sha256Builder):
+    """ACIR builder with value tracking; extends the sha256 u32 builder with
+    general AssertZero expressions and the bignum witness helpers (shared
+    base so the passport circuits can compose sha256 + bignum gadgets)."""
 
     def assert_expr(self, mul_terms=(), linear=(), const: int = 0) -> None:
         self.opcodes.append(acir.AssertZero(acir.Expression(
@@ -568,27 +557,19 @@ def scalar_mul_circuit(k: int, nbits: int = 8):
     return acir.Program(functions=[circuit]), dict(b.values), expected
 
 
-def ecdsa_verify_circuit(pub, r: int, s: int, h: int, nbits: int = 256):
-    """Full ECDSA verification circuit (the p256_std workload).
+def ecdsa_verify_gadget(b: Builder, q_pt: ECPoint, r_nn: NN, s_nn: NN,
+                        h_nn: NN, fp: NNContext, fn: NNContext,
+                        nbits: int = 256) -> None:
+    """In-circuit ECDSA verification over pre-built witnesses.
 
-    Verifies (r, s) over pub = (qx, qy) for message hash h:
+    Verifies (r, s) over Q for message hash h (all loosely-reduced NN
+    elements on a shared builder — composable, used by the passport
+    circuits where h comes from an in-circuit sha256 digest):
       w = s^-1 mod n; u1 = h*w; u2 = r*w; R = u1*G + u2*Q; R.x ≡ r (mod n).
-    u1*G + u2*Q runs as one Shamir double ladder over the joint bits.
-    Returns (acir.Program, acir_values)."""
-    b = Builder()
-    fp = NNContext(b, P256_P)
-    fn = NNContext(b, P256_N)
+    u1*G + u2*Q runs as one Shamir double ladder over the joint bits."""
     curve = CurveGadget(fp)
-
-    qx = fp.witness(pub[0])
-    qy = fp.witness(pub[1])
-    r_nn = fn.witness(r)
-    s_nn = fn.witness(s)
-    h_nn = fn.witness(h)
-    n_inputs = b.next_witness
-
-    q_pt = ECPoint(qx, qy)
     curve.assert_on_curve(q_pt)
+    s = fn.value(s_nn) % P256_N
 
     one = fn.constant(1)
     w_val = pow(s, -1, P256_N)
@@ -622,6 +603,24 @@ def ecdsa_verify_circuit(pub, r: int, s: int, h: int, nbits: int = 256):
     rx_canon = fp.canonicalize(acc.x)
     r_canon = fn.canonicalize(r_nn)
     fp.assert_canonical_eq_mod(rx_canon, r_canon, P256_N)
+
+
+def ecdsa_verify_circuit(pub, r: int, s: int, h: int, nbits: int = 256):
+    """Full standalone ECDSA verification circuit (the p256_std workload).
+
+    Witnesses (pub, r, s, h) as private inputs and runs
+    ``ecdsa_verify_gadget``.  Returns (acir.Program, acir_values)."""
+    b = Builder()
+    fp = NNContext(b, P256_P)
+    fn = NNContext(b, P256_N)
+
+    q_pt = ECPoint(fp.witness(pub[0]), fp.witness(pub[1]))
+    r_nn = fn.witness(r)
+    s_nn = fn.witness(s)
+    h_nn = fn.witness(h)
+    n_inputs = b.next_witness
+
+    ecdsa_verify_gadget(b, q_pt, r_nn, s_nn, h_nn, fp, fn, nbits=nbits)
 
     circuit = acir.Circuit(
         opcodes=b.opcodes,

@@ -182,6 +182,53 @@ def _pad(message: bytes) -> bytes:
     return padded + ml.to_bytes(8, "big")
 
 
+def sha256_bytes_gadget(b, byte_ws: list, msg_len: int) -> list:
+    """sha256 over u8 byte witnesses (caller range-checks them).
+
+    Static-length message (padding bytes are constants), returns the 32
+    digest bytes as fresh range-checked u8 witnesses.  This is the
+    composable form used by the passport circuits
+    (``check_dg1_hash_within_sod``: passport_validity_check/src/lib.nr:100).
+    """
+    assert len(byte_ws) == msg_len
+    msg_vals = bytes(b.val(w) for w in byte_ws)
+    padded = _pad(msg_vals)
+
+    words = []
+    for i in range(0, len(padded), 4):
+        terms, const = [], 0
+        for j in range(4):
+            idx = i + j
+            shift = 8 * (3 - j)
+            if idx < msg_len:
+                terms.append((1 << shift, byte_ws[idx]))
+            else:
+                const += padded[idx] << shift
+        words.append(b.linear(terms, const))
+
+    state = [b.new_witness(h) for h in H0]
+    for w, h in zip(state, H0):
+        b.assert_linear([(1, w)], F.P - h)
+    for blk in range(len(padded) // 64):
+        state = _compress(b, state, words[blk * 16:(blk + 1) * 16])
+
+    digest = b"".join(b.val(s).to_bytes(4, "big") for s in state)
+    assert digest == hashlib.sha256(msg_vals).digest()
+
+    out_bytes = []
+    for s in state:
+        v = b.val(s)
+        byte_w = []
+        for j in range(4):
+            bw = b.new_witness((v >> (8 * (3 - j))) & 0xFF)
+            b.range(bw, 8)
+            byte_w.append(bw)
+        b.assert_linear([(1 << (8 * (3 - j)), bw)
+                         for j, bw in enumerate(byte_w)] + [(F.P - 1, s)])
+        out_bytes.extend(byte_w)
+    return out_bytes
+
+
 def sha256_circuit(message: bytes):
     """Returns (acir.Program, witness values dict, digest bytes).
 
