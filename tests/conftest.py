@@ -29,3 +29,16 @@ import pytest
 @pytest.fixture
 def rng():
     return random.Random(0xC0FFEE)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop in-process executables between modules.
+
+    A long -x run accumulates hundreds of compiled programs; on the 2-vCPU
+    box the XLA:CPU compiler segfaults deep into the suite (observed at
+    test_whir's rs_encode compile) unless the in-process state is released.
+    The persistent disk cache keeps reloads cheap.
+    """
+    yield
+    jax.clear_caches()
