@@ -486,19 +486,25 @@ def batch_inv_mont(a: jax.Array, zero_to_zero: bool = True) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def sum_mod(a: jax.Array, axis: int = 1) -> jax.Array:
-    """Modular sum over one batch axis via halving tree (axis >= 1)."""
-    a = jnp.moveaxis(a, axis, 1)
-    n = a.shape[1]
-    # pad to power of two with zeros
+    """Modular sum over one batch axis via halving tree (axis >= 1).
+
+    Halves IN PLACE along ``axis`` (no moveaxis): transposing a large
+    minor axis behind a tiny one forces (8,128)-tile padding of the tiny
+    minor dim — observed as a 128x-padded 16 GB temp on TPU when reducing
+    (16, p, 2^21) over the last axis.
+    """
+    n = a.shape[axis]
     m = 1 if n == 0 else 1 << (n - 1).bit_length()
     if m != n:
         pad = [(0, 0)] * a.ndim
-        pad[1] = (0, m - n)
+        pad[axis] = (0, m - n)
         a = jnp.pad(a, pad)
-    while a.shape[1] > 1:
-        h = a.shape[1] // 2
-        a = add_mod(a[:, :h], a[:, h:])
-    return jnp.squeeze(a, axis=1)
+    while a.shape[axis] > 1:
+        h = a.shape[axis] // 2
+        lo = jax.lax.slice_in_dim(a, 0, h, axis=axis)
+        hi = jax.lax.slice_in_dim(a, h, 2 * h, axis=axis)
+        a = add_mod(lo, hi)
+    return jnp.squeeze(a, axis=axis)
 
 
 @jax.jit
