@@ -270,6 +270,14 @@ class NNContext:
     def sqr(self, a: NN) -> NN:
         return self.mul(a, a)
 
+    def assert_nonzero(self, a: NN) -> None:
+        """Prove a ≢ 0 (mod m) by witnessing its inverse: a * a^-1 == 1.
+
+        Soundness gadget: an adversarial witness cannot satisfy this for
+        a ≡ 0 since no inverse exists.  One mul-gadget of cost."""
+        inv = self.witness(pow(self.value(a) % self.m, -1, self.m))
+        self.mul(a, inv, out=self.constant(1))
+
     # -- linear reduction ------------------------------------------------------
 
     def linear(self, terms: list[tuple[int, NN]], const: int = 0) -> NN:
@@ -478,7 +486,11 @@ class CurveGadget:
         fp.mul(p.y, p.y, out=rhs)
 
     def add(self, p1: ECPoint, p2: ECPoint) -> ECPoint:
-        """Incomplete affine addition (x1 != x2 for honest witnesses)."""
+        """Incomplete affine addition; dx != 0 is *constrained*, not assumed.
+
+        Without the dx-invertibility constraint an adversarial prover could
+        arrange acc == addend (e.g. Q = 2*K_POINT passes assert_on_curve),
+        leaving lambda unconstrained and the accumulator forgeable."""
         fp = self.fp
         v1, v2 = self.point_value(p1), self.point_value(p2)
         s = ec_add(v1, v2)
@@ -486,6 +498,7 @@ class CurveGadget:
         lam = fp.witness(lam_v)
         dx = fp.sub(p2.x, p1.x)
         dy = fp.sub(p2.y, p1.y)
+        fp.assert_nonzero(dx)                        # soundness: x1 != x2
         fp.mul(lam, dx, out=dy)                      # lam * dx == dy
         l2 = fp.sqr(lam)
         x3 = fp.linear([(1, l2), (-1, p1.x), (-1, p2.x)])
@@ -504,6 +517,7 @@ class CurveGadget:
         x2 = fp.sqr(p.x)
         num = fp.linear([(3, x2)], P256_A)           # 3x^2 + a
         den = fp.linear([(2, p.y)])                  # 2y
+        fp.assert_nonzero(den)                       # soundness: y != 0
         fp.mul(lam, den, out=num)                    # lam * 2y == 3x^2 + a
         l2 = fp.sqr(lam)
         x3 = fp.linear([(1, l2), (-2, p.x)])
@@ -599,9 +613,11 @@ def ecdsa_verify_gadget(b: Builder, q_pt: ECPoint, r_nn: NN, s_nn: NN,
     k_off = ec_neg(ec_mul(1 << nbits, K_POINT))
     acc = curve.add(acc, curve.constant_point(k_off))
 
-    # R.x mod n == r
+    # R.x mod n == r, with r != 0 (spec requires 1 <= r <= n-1; s != 0 is
+    # already implied by the s*w == 1 constraint above)
     rx_canon = fp.canonicalize(acc.x)
     r_canon = fn.canonicalize(r_nn)
+    fn.assert_nonzero(r_canon)
     fp.assert_canonical_eq_mod(rx_canon, r_canon, P256_N)
 
 

@@ -172,7 +172,7 @@ def compress_dispatch(l: jax.Array, r: jax.Array) -> jax.Array:
     """
     from ..hash import skyscraper as S
     n = l.shape[-1]
-    if (_pallas_enabled() and l.ndim == 2
+    if (_pallas_enabled() and l.ndim == 2 and n > 0
             and n % min(TILE, n) == 0 and (n & (n - 1)) == 0):
         return compress_pallas(l, r)
     return S.compress_v(l, r)
@@ -213,6 +213,6 @@ def permute_dispatch(l: jax.Array, r: jax.Array):
     The Fiat-Shamir sponge is a single-lane sequential chain — per-permute
     latency (not throughput) gates the prover; see fs.device."""
     from ..hash import skyscraper as S
-    if _pallas_enabled() and l.ndim == 2:
+    if _pallas_enabled() and l.ndim == 2 and l.shape[1] > 0:
         return permute_pallas(l, r)
     return S.permute_v.__wrapped__(l, r)

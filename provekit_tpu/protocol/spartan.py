@@ -100,6 +100,20 @@ def _random_mont_jit(key, n: int):
     return _reduce_512_dev(limbs)
 
 
+def _key_from_256_bits(bits: int):
+    """PRNG key absorbing all 256 entropy bits via successive fold_in calls.
+
+    PRNGKey() alone truncates its seed to 64 bits; folding eight 32-bit
+    words keeps the full entropy so recovering the mask stream requires a
+    2^256 search, matching the reference's thread_rng guarantee
+    (prover/src/whir_r1cs.rs:212 context).
+    """
+    key = jax.random.PRNGKey(bits & 0xFFFFFFFF)
+    for i in range(1, 8):
+        key = jax.random.fold_in(key, (bits >> (32 * i)) & 0xFFFFFFFF)
+    return key
+
+
 def random_mont_dev(n: int, rng=None):
     """(16, n) uniform field elements (Montgomery form), device-resident.
 
@@ -108,9 +122,13 @@ def random_mont_dev(n: int, rng=None):
     (bias 2^-258) — zero host->device transfer (the tunnel moves ~150 MB/s,
     so shipping 2^17 mask elements would cost ~100 ms).  Uniform canonical
     is uniform in Montgomery form too; masks are never needed as host ints.
+
+    The key is derived from 256 bits of OS entropy (or from ``rng`` when a
+    deterministic stream is requested by tests) — see ``_key_from_256_bits``.
     """
-    seed = (rng.getrandbits(63) if rng is not None else secrets.randbits(63))
-    return _random_mont_jit(jax.random.PRNGKey(seed), n)
+    bits = (rng.getrandbits(256) if rng is not None
+            else secrets.randbits(256))
+    return _random_mont_jit(_key_from_256_bits(bits), n)
 
 
 def batch_commit_to_polynomial(m, whir_config, poly_mont, transcript,
