@@ -9,9 +9,13 @@ publishes no absolute numbers (CodSpeed-relative on a Raspberry Pi 5), so
 vs_baseline is null until a reference measurement exists on comparable
 hardware; see BASELINE.md.
 
-Env knobs: BENCH_HASHES (default 100), BENCH_SECURITY (default 100),
-BENCH_MAX_POW (default 16), BENCH_CIRCUIT (poseidon | p256 | sha256 |
-passport).
+Defaults are the REFERENCE parameters: BENCH_HASHES=1000 (the reference's
+``prove_poseidon_1000``), security 128 with ConjectureList-style max-pow
+derivation (``default_max_pow``, whir_r1cs.rs:43).
+
+Env knobs: BENCH_HASHES (default 1000), BENCH_SECURITY (default 128),
+BENCH_MAX_POW (default: reference default_max_pow per config),
+BENCH_CIRCUIT (poseidon | p256 | sha256 | passport).
 """
 
 import json
@@ -47,9 +51,10 @@ def build_circuit(kind: str, n_hashes: int):
 
 
 def main():
-    n_hashes = int(os.environ.get("BENCH_HASHES", 100))
-    security = int(os.environ.get("BENCH_SECURITY", 100))
-    max_pow = int(os.environ.get("BENCH_MAX_POW", 16))
+    n_hashes = int(os.environ.get("BENCH_HASHES", 1000))
+    security = int(os.environ.get("BENCH_SECURITY", 128))
+    max_pow = (int(os.environ["BENCH_MAX_POW"])
+               if "BENCH_MAX_POW" in os.environ else None)
     kind = os.environ.get("BENCH_CIRCUIT", "poseidon")
 
     from provekit_tpu.compiler import NoirProofScheme

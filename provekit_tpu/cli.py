@@ -169,7 +169,8 @@ def main(argv=None):
     sp.add_argument("circuit")
     sp.add_argument("-o", "--output", default="scheme.nps")
     sp.add_argument("--security", type=int, default=128)
-    sp.add_argument("--max-pow-bits", type=int, default=17)
+    sp.add_argument("--max-pow-bits", type=int, default=None,
+                    help="grinding cap; default: reference default_max_pow")
     sp.set_defaults(fn=cmd_prepare)
 
     sp = sub.add_parser("prove", help="prove a .nps scheme with a witness")

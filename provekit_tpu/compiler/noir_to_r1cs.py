@@ -24,9 +24,26 @@ ONE = 1
 class MemoryBlock:
     initial_value_witnesses: list = field(default_factory=list)
     operations: list = field(default_factory=list)  # [("load"|"store", addr, value)]
+    scratch: int | None = None  # table index of the predicate scratch slot
 
     def is_read_only(self) -> bool:
         return all(op[0] == "load" for op in self.operations)
+
+    def scratch_slot(self, compiler: "NoirToR1CSCompiler") -> int:
+        """Index of the always-zero scratch slot (appended on first use).
+
+        Predicated memory ops are lowered onto it: a disabled load reads 0
+        from the scratch slot (matching ACVM's disabled-read-returns-zero
+        semantics) and a disabled store rewrites it with p*value == 0, so
+        the slot provably stays zero."""
+        if self.scratch is None:
+            self.scratch = len(self.initial_value_witnesses)
+            zero = compiler.add_witness_builder(
+                wb.Constant(compiler.num_witnesses, 0))
+            compiler.r1cs.add_constraint(
+                [(1, zero)], [(1, compiler.witness_one)], [])
+            self.initial_value_witnesses.append(zero)
+        return self.scratch
 
 
 class NoirToR1CSCompiler:
@@ -78,6 +95,26 @@ class NoirToR1CSCompiler:
         self.r1cs.add_constraint(az, [(1, self.witness_one)], [(1, s)])
         return s
 
+    def witness_for_expression(self, expr: acir.Expression) -> int:
+        """R1CS witness constrained to equal a general ACIR expression.
+
+        Goes beyond the reference (noir_to_r1cs.rs:297-305 bails on
+        non-witness MemoryOp indices): quadratic terms become Product
+        witnesses, the linear tail a Sum witness."""
+        w = expr.to_witness()
+        if w is not None:
+            return self.fetch_r1cs_witness(w)
+        terms = []
+        for coeff, wa, wb_ in expr.mul_terms:
+            prod = self.add_product(self.fetch_r1cs_witness(wa),
+                                    self.fetch_r1cs_witness(wb_))
+            terms.append((coeff % F.P, prod))
+        for coeff, wv in expr.linear_combinations:
+            terms.append((coeff % F.P, self.fetch_r1cs_witness(wv)))
+        if expr.q_c % F.P or not terms:
+            terms.append((expr.q_c % F.P, self.witness_one))
+        return self.add_sum(terms)
+
     # -- AssertZero --------------------------------------------------------
 
     def add_acir_assert_zero(self, expr: acir.Expression) -> None:
@@ -94,6 +131,59 @@ class NoirToR1CSCompiler:
             linear.append((F.neg(coeff), self.fetch_r1cs_witness(w)))
         linear.append((F.neg(expr.q_c), self.witness_one))
         self.r1cs.add_constraint(a, b, linear)
+
+    # -- memory ops ----------------------------------------------------------
+
+    def add_memory_op(self, block: MemoryBlock, opcode: acir.MemoryOp) -> None:
+        """Lower a (possibly predicated) MemoryOp onto the block's op list.
+
+        Beyond the reference surface (noir_to_r1cs.rs:280-325 asserts
+        predicate.is_none() and a single-witness index): general expression
+        indices are materialized via ``witness_for_expression``; a
+        predicated op is rewritten against an always-zero scratch slot L:
+
+            load  p,addr,v   ->  load(p*addr + (1-p)*L, v)
+            store p,addr,v   ->  store(p*addr + (1-p)*L, p*v)
+
+        With p == 1 these are the plain ops; with p == 0 the load reads the
+        scratch zero (ACVM assigns 0 to a disabled read's value witness) and
+        the store rewrites scratch with 0, so the slot provably stays zero.
+        p is boolean-constrained (p*p == p).
+        """
+        kind = "load" if opcode.op.operation == 0 else "store"
+        pred = opcode.predicate
+        if pred is not None:
+            # constant predicates collapse at compile time
+            if not pred.mul_terms and not pred.linear_combinations:
+                if pred.q_c % F.P == 0:
+                    if kind == "load":
+                        # disabled read still pins its value witness to zero
+                        v = self.fetch_r1cs_witness(
+                            opcode.op.value.to_witness())
+                        self.r1cs.add_constraint(
+                            [(1, v)], [(1, self.witness_one)], [])
+                    return
+                pred = None
+        addr = self.witness_for_expression(opcode.op.index)
+        if pred is None:
+            value = self.fetch_r1cs_witness(opcode.op.value.to_witness())
+            block.operations.append((kind, addr, value))
+            return
+        p = self.witness_for_expression(pred)
+        self.r1cs.add_constraint([(1, p)], [(1, p)], [(1, p)])  # boolean
+        scratch = block.scratch_slot(self)
+        t = self.add_product(p, addr)
+        if scratch == 0:
+            addr_eff = t
+        else:
+            addr_eff = self.add_sum(
+                [(1, t), (F.neg(scratch), p), (scratch, self.witness_one)])
+        if kind == "load":
+            value = self.fetch_r1cs_witness(opcode.op.value.to_witness())
+            block.operations.append(("load", addr_eff, value))
+        else:
+            v = self.witness_for_expression(opcode.op.value)
+            block.operations.append(("store", addr_eff, self.add_product(p, v)))
 
     # -- opcode pass -------------------------------------------------------
 
@@ -120,16 +210,7 @@ class NoirToR1CSCompiler:
                         self.fetch_r1cs_witness(w))
                 memory_blocks[opcode.block_id] = block
             elif isinstance(opcode, acir.MemoryOp):
-                assert opcode.predicate is None, "MemoryOp predicate unsupported"
-                block = memory_blocks[opcode.block_id]
-                addr_w = opcode.op.index.to_witness()
-                if addr_w is None:
-                    raise NotImplementedError(
-                        "MemoryOp index must be a single witness")
-                addr = self.fetch_r1cs_witness(addr_w)
-                value = self.fetch_r1cs_witness(opcode.op.value.to_witness())
-                kind = "load" if opcode.op.operation == 0 else "store"
-                block.operations.append((kind, addr, value))
+                self.add_memory_op(memory_blocks[opcode.block_id], opcode)
             elif isinstance(opcode, acir.BlackBoxRange):
                 fi = opcode.input
                 if fi.is_constant():

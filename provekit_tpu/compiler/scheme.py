@@ -38,7 +38,7 @@ class NoirProofScheme:
 
     @classmethod
     def from_program(cls, program: acir.Program, security_level: int = 128,
-                     max_pow_bits: int = 17, abi=None) -> "NoirProofScheme":
+                     max_pow_bits: int | None = None, abi=None) -> "NoirProofScheme":
         assert len(program.functions) == 1, "only one ACIR function supported"
         circuit = program.functions[0]
         r1cs, acir_map, builders = noir_to_r1cs(circuit)

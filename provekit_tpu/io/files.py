@@ -175,7 +175,9 @@ def scheme_to_doc(scheme: NoirProofScheme) -> dict:
         "witness_builders": [_enc(b) for b in scheme.witness_builders],
         "whir": {
             "security_level": scheme.whir_for_witness.security_level,
-            "max_pow_bits": scheme.whir_for_witness.max_pow_bits,
+            # -1 encodes "reference default" (per-config default_max_pow)
+            "max_pow_bits": (-1 if scheme.whir_for_witness.max_pow_bits
+                             is None else scheme.whir_for_witness.max_pow_bits),
         },
         "abi": _enc(scheme.abi),
     }
@@ -186,9 +188,10 @@ def scheme_from_doc(doc: dict) -> NoirProofScheme:
     program = _dec(doc["program"])
     r1cs = _r1cs_from_doc(doc["r1cs"])
     builders = [_dec(b) for b in doc["witness_builders"]]
+    mp = doc["whir"]["max_pow_bits"]
     scheme = WhirR1CSScheme.new_for_r1cs(
         r1cs, security_level=doc["whir"]["security_level"],
-        max_pow_bits=doc["whir"]["max_pow_bits"])
+        max_pow_bits=None if mp == -1 else mp)
     return NoirProofScheme(
         program=program, r1cs=r1cs,
         acir_map={int(k): v for k, v in doc["acir_map"].items()},

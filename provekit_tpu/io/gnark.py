@@ -2,9 +2,17 @@
 
 Mirrors ``tooling/provekit-gnark/src/gnark_config.rs:11-149``: serializes the
 two WHIR configs, scheme shape, IO pattern and transcript into the
-``params_for_recursive_verifier`` JSON, plus the ``r1cs.json`` matrix dump
-consumed by the Go circuit (``recursive-verifier/app/circuit/types.go:24-124``,
-``matrix_evaluation.go:9-33``).
+``params_for_recursive_verifier`` JSON, plus the ``r1cs.json`` matrix dump.
+Schemas are pinned by the Go verifier:
+
+* config: ``recursive-verifier/app/circuit/types.go:88-99`` (including the
+  ``witness_statement_evaluations`` / ``blinding_statement_evaluations``
+  deferred-value fields).
+* r1cs.json: the Rust serde layout of ``provekit_common::R1CS``
+  (``common/src/r1cs.rs:8-14``, ``sparse_matrix.rs:12-27``: CSR with
+  ``new_row_indices``/``col_indices``/``values``; interner values as a hex
+  string of the ark-compressed ``Vec<Fr>`` — ``utils/serde_ark.rs:11-31``)
+  as consumed by ``matrix_evaluation.go:9-33`` / ``common.go:109``.
 """
 
 from __future__ import annotations
@@ -16,6 +24,7 @@ from ..fields import bn254 as F
 from ..protocol import WhirR1CSScheme
 from ..r1cs import R1CS
 from ..whir import WhirConfig
+from ..whir.hints import deserialize_scalar_vec
 
 
 def whir_config_gnark(config: WhirConfig) -> dict:
@@ -36,8 +45,33 @@ def whir_config_gnark(config: WhirConfig) -> dict:
     }
 
 
+def _deferred_from_transcript(scheme: WhirR1CSScheme,
+                              transcript: bytes) -> tuple[list, list]:
+    """Extract the two deferred_weight_evaluations hints from a proof.
+
+    Walks the declared IO pattern over the NARG bytes (the hint framing is
+    u32-LE length + body) and returns (blinding_evals, witness_evals)."""
+    io = scheme.create_io_pattern()
+    pos = 0
+    deferred = []
+    for op in io.ops:
+        if op.kind == "A":
+            pos += 32 * op.count
+        elif op.kind == "H":
+            n = int.from_bytes(transcript[pos:pos + 4], "little")
+            body = transcript[pos + 4:pos + 4 + n]
+            pos += 4 + n
+            if op.label == "deferred_weight_evaluations":
+                deferred.append(deserialize_scalar_vec(body))
+    if len(deferred) != 2:
+        raise ValueError("expected two deferred_weight_evaluations hints")
+    return deferred[0], deferred[1]
+
+
 def gnark_parameters(scheme: WhirR1CSScheme, transcript: bytes,
                      io_pattern: bytes) -> dict:
+    blinding_evals, witness_evals = _deferred_from_transcript(
+        scheme, transcript)
     return {
         "whir_config_witness": whir_config_gnark(scheme.whir_witness),
         "whir_config_hiding_spartan":
@@ -48,25 +82,51 @@ def gnark_parameters(scheme: WhirR1CSScheme, transcript: bytes,
         "io_pattern": io_pattern.decode("utf-8", errors="replace"),
         "transcript": list(transcript),
         "transcript_len": len(transcript),
+        "witness_statement_evaluations": [str(v) for v in witness_evals],
+        "blinding_statement_evaluations": [str(v) for v in blinding_evals],
+    }
+
+
+def _interner_hex(values: list[int]) -> str:
+    """hex(ark-compressed Vec<Fr>): u64 LE count + 32-byte LE scalars."""
+    out = bytearray(len(values).to_bytes(8, "little"))
+    for v in values:
+        out += F.to_bytes_le(v)
+    return out.hex()
+
+
+def _matrix_csr(m) -> dict:
+    """COO -> the Rust SparseMatrix serde layout (CSR, row-sorted)."""
+    order = sorted(range(len(m.rows)), key=lambda i: (m.rows[i], m.cols[i]))
+    new_row_indices = []
+    col_indices, values = [], []
+    next_row = 0
+    for k, i in enumerate(order):
+        while next_row <= m.rows[i]:
+            new_row_indices.append(k)
+            next_row += 1
+        col_indices.append(m.cols[i])
+        values.append(m.value_ids[i])
+    while next_row < m.num_rows:
+        new_row_indices.append(len(order))
+        next_row += 1
+    return {
+        "num_rows": m.num_rows,
+        "num_cols": m.num_cols,
+        "new_row_indices": new_row_indices,
+        "col_indices": col_indices,
+        "values": values,
     }
 
 
 def r1cs_to_gnark_json(r1cs: R1CS) -> dict:
-    """Matrix dump with interned values (matrix_evaluation.go:9-33 mirror)."""
-    def matrix(m):
-        return {
-            "num_rows": m.num_rows,
-            "num_cols": m.num_cols,
-            "entries": [[r, c, vid] for r, c, vid in
-                        zip(m.rows, m.cols, m.value_ids)],
-        }
+    """serde_json(provekit_common::R1CS) mirror (r1cs.rs:8-14)."""
     return {
-        "interner": {"values": [str(v) for v in r1cs.interner.values]},
-        "a": matrix(r1cs.a),
-        "b": matrix(r1cs.b),
-        "c": matrix(r1cs.c),
         "num_public_inputs": r1cs.num_public_inputs,
-        "num_witnesses": r1cs.num_witnesses,
+        "interner": {"values": _interner_hex(list(r1cs.interner.values))},
+        "a": _matrix_csr(r1cs.a),
+        "b": _matrix_csr(r1cs.b),
+        "c": _matrix_csr(r1cs.c),
     }
 
 

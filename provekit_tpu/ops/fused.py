@@ -107,7 +107,12 @@ def whir_sumcheck_segment(fw: jax.Array, state: jax.Array, count: int):
         h1 = _masked_sum(V.add_mod(_mm(f0, dw), _mm(w0, df)), ap).reshape(16, 1)
         h2 = _masked_sum(_mm(df, dw), ap).reshape(16, 1)
 
-        hc = [_from_mont1(x) for x in (h0, h1, h2)]
+        # emit EVALUATIONS [h(0), h(1), h(2)] — the whir crate's sumcheck
+        # wire basis (gnark runWhirSumcheckRounds checks e0+e1 == claim and
+        # interpolates, whir_utilities.go:102-126 / utilities.go:148-170)
+        e1 = V.add_mod(V.add_mod(h0, h1), h2)
+        e2 = V.add_mod(e1, V.add_mod(h1, V.add_mod(h2, V.add_mod(h2, h2))))
+        hc = [_from_mont1(x) for x in (h0, e1, e2)]
         coeffs = jax.lax.dynamic_update_slice(
             coeffs, jnp.stack(hc, axis=2).reshape(16, 1, 3), (0, j, 0))
         state = _absorb_seq(state, hc)

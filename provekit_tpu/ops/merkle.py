@@ -152,7 +152,15 @@ def commit_dev(leaves: jax.Array) -> MerkleTree:
     Used by the device-resident prover: small-level compresses are tiny
     async dispatches, which beats a ~30 ms transfer round trip per tree on
     tunneled devices.
+
+    Under an active mesh the leaves are gathered and the tree is built
+    replicated: the per-level compress graphs are large fully-unrolled
+    256-bit programs whose GSPMD partitioning costs minutes of compile time
+    for second-long kernels (a sharded shard_map subtree build is the
+    planned follow-up).
     """
+    from ..parallel import context as pctx
+    leaves = pctx.replicate(leaves)
     from . import pallas_kernels as PK
     digests = hash_leaves(leaves)
     levels = [digests]

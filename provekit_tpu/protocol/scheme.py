@@ -48,11 +48,14 @@ class WhirR1CSScheme:
     whir_witness: WhirConfig
     whir_for_hiding_spartan: WhirConfig
     security_level: int = 128
-    max_pow_bits: int = 17
+    # None -> each WHIR config derives default_max_pow(num_vars, rate),
+    # matching the reference (whir_r1cs.rs:43); an int pins both configs
+    # (used by reduced-security tests).
+    max_pow_bits: int | None = None
 
     @classmethod
     def new_for_r1cs(cls, r1cs: R1CS, security_level: int = 128,
-                     max_pow_bits: int = 17) -> "WhirR1CSScheme":
+                     max_pow_bits: int | None = None) -> "WhirR1CSScheme":
         m = next_power_of_two_log(r1cs.num_witnesses)
         m_0 = max(1, next_power_of_two_log(r1cs.num_constraints))
         blinding_vars = next_power_of_two_log(4 * m_0) + 1
@@ -84,21 +87,31 @@ class WhirR1CSScheme:
 
     # -- prove -------------------------------------------------------------
 
-    def prove(self, r1cs: R1CS, witness: list[int], rng=None) -> bytes:
+    def prove(self, r1cs: R1CS, witness: list[int], rng=None,
+              mesh=None) -> bytes:
+        """Prove R1CS satisfaction.  With ``mesh`` (jax.sharding.Mesh), the
+        big arrays are sharded across its devices and every prover kernel
+        runs SPMD (see parallel/context.py) — transcripts are byte-identical
+        to the single-device path."""
+        if mesh is not None:
+            from ..parallel import context as pctx
+            with pctx.use_mesh(mesh):
+                return self.prove(r1cs, witness, rng=rng)
         assert len(witness) == r1cs.num_witnesses
         assert r1cs.num_witnesses <= 1 << self.m
         assert r1cs.num_constraints <= 1 << self.m_0
 
         from ..fs.device import DeviceProverState
         from ..fs import device as D
+        from ..parallel import context as pctx
         from ..utils.profiling import span
         io = self.create_io_pattern()
         tr = DeviceProverState(io)
 
         with span("commit_witness"):
             z = V.to_mont(V.pack(witness))  # Montgomery conversion on device
-            padded = jnp.pad(
-                z, [(0, 0), (0, (1 << (self.m - 1)) - len(witness))])
+            padded = pctx.shard_last(jnp.pad(
+                z, [(0, 0), (0, (1 << (self.m - 1)) - len(witness))]))
             com = spartan.batch_commit_to_polynomial(
                 self.m, self.whir_witness, padded, tr, rng)
 
@@ -117,7 +130,8 @@ class WhirR1CSScheme:
             for mat in (r1cs.a, r1cs.b, r1cs.c):
                 row = mat.mul_left(eq_alpha)  # (16, num_witnesses) Montgomery
                 pad_to = 1 << self.m
-                row_p = jnp.pad(row, [(0, 0), (0, pad_to - row.shape[1])])
+                row_p = pctx.shard_last(
+                    jnp.pad(row, [(0, 0), (0, pad_to - row.shape[1])]))
                 w = DenseWeights(row_p, self.m)
                 f = sc.weighted_sum(row_p, masked_arr).reshape(16, 1)
                 g = sc.weighted_sum(row_p, rand_arr).reshape(16, 1)
@@ -127,7 +141,16 @@ class WhirR1CSScheme:
                     w, V.add_mod(f, V.mont_mul(com.batching_randomness, g)))
 
         sums_c = D.from_mont(jnp.concatenate(f_sums + g_sums, axis=1))
-        tr.hint_arrays(V.to_bytes_le_block, [sums_c])
+
+        def _claimed_builder(block):
+            # ark ClaimedEvaluations { f_sums: Vec<Fp256>, g_sums: Vec<Fp256> }
+            # (parsed by recursive-verifier common.go:76-84)
+            from ..whir.hints import serialize_claimed_evaluations
+            from ..whir.prover import _scalars_of_block
+            vals = _scalars_of_block(block, 1, 6)[0]
+            return serialize_claimed_evaluations(vals[:3], vals[3:])
+
+        tr.hint_arrays(_claimed_builder, [sums_c])
 
         with span("whir_open_witness"):
             prover.prove(tr, self.whir_witness, com, statement)
@@ -144,14 +167,14 @@ class WhirR1CSScheme:
         sout = spartan.run_zk_sumcheck_verifier(
             tr, self.m_0, self.whir_for_hiding_spartan)
 
-        hint = tr.hint_bytes()
-        if len(hint) != 6 * 32:
-            raise WhirError("claimed_evaluations hint malformed")
-        vals = [int.from_bytes(hint[32 * i:32 * (i + 1)], "little")
-                for i in range(6)]
-        if any(v >= F.P for v in vals):
-            raise WhirError("non-canonical hint scalar")
-        f_sums, g_sums = vals[:3], vals[3:]
+        from ..whir.hints import deserialize_claimed_evaluations
+        try:
+            f_sums, g_sums = deserialize_claimed_evaluations(tr.hint_bytes())
+        except ValueError as e:
+            raise WhirError(f"claimed_evaluations hint malformed: {e}") \
+                from None
+        if len(f_sums) != 3 or len(g_sums) != 3:
+            raise WhirError("claimed_evaluations count mismatch")
 
         eq_alpha = sc.eq_table(sout.alpha)[:, :r1cs.num_constraints]
         statement = Statement(self.m)

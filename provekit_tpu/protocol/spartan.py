@@ -128,7 +128,8 @@ def random_mont_dev(n: int, rng=None):
     """
     bits = (rng.getrandbits(256) if rng is not None
             else secrets.randbits(256))
-    return _random_mont_jit(_key_from_256_bits(bits), n)
+    from ..parallel import context as pctx
+    return pctx.shard_last(_random_mont_jit(_key_from_256_bits(bits), n))
 
 
 def batch_commit_to_polynomial(m, whir_config, poly_mont, transcript,
@@ -193,6 +194,7 @@ def run_zk_sumcheck_prover(r1cs, z, transcript, m_0: int,
     from ..fs import device as D
     import jax.numpy as jnp
 
+    from ..parallel import context as pctx
     r_c = transcript.challenge_scalars_dev(m_0)     # (16, m_0) canonical
     r_m = D.to_mont(r_c)
     a, b, c = r1cs.witness_bounds(z)
@@ -202,7 +204,8 @@ def run_zk_sumcheck_prover(r1cs, z, transcript, m_0: int,
         a = jnp.pad(a, [(0, 0), (0, pad)])
         b = jnp.pad(b, [(0, 0), (0, pad)])
         c = jnp.pad(c, [(0, 0), (0, pad)])
-    eq = D.eq_table_dev(r_m, m_0)
+    a, b, c = (pctx.shard_last(x) for x in (a, b, c))
+    eq = pctx.shard_last(D.eq_table_dev(r_m, m_0))
 
     g_cubics = [[(rng.randrange(F.P) if rng is not None
                   else secrets.randbelow(F.P)) for _ in range(4)]

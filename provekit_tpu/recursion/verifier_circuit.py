@@ -28,7 +28,8 @@ from dataclasses import dataclass, field
 
 from ..fields import bn254 as F
 from ..ops import pow as pow_mod
-from ..whir.hints import deserialize_openings
+from ..whir.hints import (deserialize_multipath, deserialize_scalar_vec,
+                          deserialize_stir_answers)
 from ..whir.parameters import WhirConfig
 from .builder import LC, ONE, CircuitBuilder
 from .gadgets import TranscriptGadget, compress
@@ -124,14 +125,19 @@ def pow_check(b: CircuitBuilder, tr: TranscriptGadget, bits: float) -> None:
 
 def read_sumcheck_rounds(b: CircuitBuilder, tr: TranscriptGadget, claim: LC,
                          count: int, binders: list) -> LC:
-    """whir/verifier.py::_read_sumcheck_rounds: 3 coefficients per round,
-    h(0)+h(1) == claim, then fold the claim at the drawn alpha."""
+    """whir/verifier.py::_read_sumcheck_rounds — EVALUATION basis
+    [h(0), h(1), h(2)]: assert h(0)+h(1) == claim, then interpolate the
+    quadratic at the drawn alpha (gnark utilities.go:148-170)."""
+    half = F.HALF
     for _ in range(count):
-        coeffs = tr.next_scalars(3)
-        b.assert_zero(coeffs[0].scale(2) + coeffs[1] + coeffs[2] - claim)
+        e0, e1, e2 = tr.next_scalars(3)
+        b.assert_zero(e0 + e1 - claim)
         alpha = tr.challenge_scalars(1)[0]
         binders.append(alpha)
-        claim = horner(b, coeffs, alpha)
+        # b1 = (4e1 - e2 - 3e0)/2, b2 = (e2 - 2e1 + e0)/2
+        b1 = (e1.scale(4) - e2 - e0.scale(3)).scale(half)
+        b2 = (e2 - e1.scale(2) + e0).scale(half)
+        claim = horner(b, [e0, b1, b2], alpha)
     return claim
 
 
@@ -388,6 +394,13 @@ def whir_verify_gadget(b: CircuitBuilder, tr: TranscriptGadget,
     if config.final_folding_pow_bits > 0:
         pow_check(b, tr, config.final_folding_pow_bits)
 
+    # deferred_weight_evaluations hint: consumed for transcript alignment;
+    # this circuit recomputes every weight eval itself (stronger than gnark,
+    # which trusts the values into the final identity)
+    dv = deserialize_scalar_vec(tr.hint_bytes())
+    if len(dv) != len(statement.constraints):
+        raise ValueError("deferred_weight_evaluations count mismatch")
+
     # final identity: claim == W(binders) * f_final(final_binders)
     full_point = list(reversed(binders))
     eq_table = None
@@ -458,8 +471,10 @@ def _hinted_openings(b: CircuitBuilder, tr: TranscriptGadget, queries: list,
     private witnesses.  Duplicate queries allocate (and re-verify)
     duplicate openings, keeping the circuit shape static.
     """
-    hint = tr.hint_bytes()
-    h_idx, h_leaves, h_paths = deserialize_openings(hint, leaf_elems, k)
+    h_idx, sibs, topdown = deserialize_multipath(tr.hint_bytes())
+    h_leaves = deserialize_stir_answers(tr.hint_bytes())
+    h_paths = [([s] if k else []) + list(reversed(td))
+               for s, td in zip(sibs, topdown)]
     lookup = {i: (lv, pt) for i, lv, pt in zip(h_idx, h_leaves, h_paths)}
     out = []
     for q in queries:

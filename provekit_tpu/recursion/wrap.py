@@ -90,15 +90,12 @@ def build_verifier_circuit(scheme, inner_r1cs, proof: bytes) -> CircuitBuilder:
 
     # claimed_evaluations hint -> private witnesses (arthur.hint,
     # verifier/src/whir_r1cs.rs:79; gnark treats these as private witness)
-    hint = tr.hint_bytes()
-    if len(hint) != 6 * 32:
-        raise ValueError("claimed_evaluations hint malformed")
-    vals = [int.from_bytes(hint[32 * i:32 * (i + 1)], "little")
-            for i in range(6)]
-    if any(v >= P for v in vals):
-        raise ValueError("non-canonical hint scalar")
-    f_sums = [b.alloc(v) for v in vals[:3]]
-    g_sums = [b.alloc(v) for v in vals[3:]]
+    from ..whir.hints import deserialize_claimed_evaluations
+    fv, gv = deserialize_claimed_evaluations(tr.hint_bytes())
+    if len(fv) != 3 or len(gv) != 3:
+        raise ValueError("claimed_evaluations count mismatch")
+    f_sums = [b.alloc(v) for v in fv]
+    g_sums = [b.alloc(v) for v in gv]
 
     # statement weights: eq_alpha^T M for M in (A, B, C) — evaluated at the
     # folding point inside whir_verify_gadget via the R1CS matrix-extension

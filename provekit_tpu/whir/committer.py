@@ -66,11 +66,12 @@ def commit(transcript, config: WhirConfig, polys: list) -> ProverCommitment:
     m = config.num_variables
     fold_size = 1 << config.initial_folding_factor
 
+    from ..parallel import context as pctx
     with span(f"rs_encode_m{m}"):
         encs = []
         for evals in polys:
             assert evals.shape == (16, 1 << m)
-            coeffs = ntt.coeffs_of_evals(evals, device=True)
+            coeffs = ntt.coeffs_of_evals(pctx.shard_last(evals), device=True)
             encs.append(ntt.rs_encode(coeffs, config.starting_log_domain,
                                       device=True))
         encoding = jnp.stack(encs, axis=1)  # (16, k, N)

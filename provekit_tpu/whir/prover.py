@@ -34,7 +34,11 @@ from .statement import Statement
 
 
 def proof_pattern(ds, config: WhirConfig, label: str = "") -> None:
-    """Transcript shape of a WHIR opening proof (add_whir_proof)."""
+    """Transcript shape of a WHIR opening proof (add_whir_proof).
+
+    Hint labels/placement follow the Go verifier's parse surface
+    (common.go:44-63: "merkle_proof" + "stir_answers" per opening,
+    "deferred_weight_evaluations" once per proof)."""
     ds.squeeze(1, f"initial_combination_randomness{label}")
     for _ in range(config.initial_folding_factor):
         ds.absorb(3, "sumcheck_poly").squeeze(1, "folding_randomness")
@@ -46,6 +50,7 @@ def proof_pattern(ds, config: WhirConfig, label: str = "") -> None:
         if rc.pow_bits > 0:
             ds.squeeze(1, "pow_challenge").absorb(1, "pow_nonce")
         ds.squeeze(rc.num_queries, "stir_queries")
+        ds.hint("merkle_proof")
         ds.hint("stir_answers")
         ds.squeeze(1, "combination_randomness")
         for _ in range(rc.folding_factor):
@@ -54,37 +59,72 @@ def proof_pattern(ds, config: WhirConfig, label: str = "") -> None:
     if config.final_pow_bits > 0:
         ds.squeeze(1, "pow_challenge").absorb(1, "pow_nonce")
     ds.squeeze(config.final_queries, "final_queries")
-    ds.hint("final_answers")
+    ds.hint("merkle_proof")
+    ds.hint("stir_answers")
     for _ in range(config.final_sumcheck_rounds):
         ds.absorb(3, "sumcheck_poly").squeeze(1, "folding_randomness")
     if config.final_folding_pow_bits > 0:
         ds.squeeze(1, "pow_challenge").absorb(1, "pow_nonce")
+    ds.hint("deferred_weight_evaluations")
 
 
-def _openings_builder(leaf_elems: int, depth: int):
-    """Host-side hint serializer, applied at finalize to fetched arrays.
+def _scalars_of_block(block, rows: int, cols: int) -> list[list[int]]:
+    """numpy (16, rows*cols) limb planes -> rows x cols Python ints."""
+    import numpy as np
+    arr = np.asarray(block, dtype=np.uint64).reshape(16, rows, cols)
+    vals = np.zeros((rows, cols), dtype=object)
+    for l in range(16):
+        vals = vals + (arr[l].astype(object) << (16 * l))
+    return [[int(v) for v in row] for row in vals]
 
-    Receives the SORTED (dups included) query indices plus the padded
-    device gathers, and emits the dedup'd opening hint — identical bytes
-    to the old host path (sorted(set(indices)) order)."""
 
-    def build(idx_sorted, leaf_block, path_block):
+def _multipath_builder(depth: int):
+    """merkle_proof hint: ark MultiPath<Digest> (see whir/hints.py)."""
+
+    def build(idx_sorted, path_block):
         import numpy as np
+        from .hints import serialize_multipath
+        q = len(idx_sorted)
+        keep = np.ones(q, dtype=bool)
+        keep[1:] = idx_sorted[1:] != idx_sorted[:-1]
+        idx = [int(i) for i in idx_sorted[keep]]
+        n = len(idx)
+        path = np.asarray(path_block).reshape(16, depth, q)[:, :, keep]
+        # path rows are bottom-up: row 0 = leaf sibling, rows 1.. internal
+        vals = _scalars_of_block(path.reshape(16, -1), depth, n)
+        siblings = vals[0] if depth else [0] * n
+        topdown = [[vals[d][j] for d in range(depth - 1, 0, -1)]
+                   for j in range(n)]
+        return serialize_multipath(idx, siblings, topdown)
+
+    return build
+
+
+def _answers_builder(leaf_elems: int):
+    """stir_answers hint: ark Vec<Vec<Fp256>>."""
+
+    def build(idx_sorted, leaf_block):
+        import numpy as np
+        from .hints import serialize_stir_answers
         q = len(idx_sorted)
         keep = np.ones(q, dtype=bool)
         keep[1:] = idx_sorted[1:] != idx_sorted[:-1]
         leaf = np.asarray(leaf_block).reshape(16, q, leaf_elems)[:, keep, :]
-        path = np.asarray(path_block).reshape(16, depth, q)[:, :, keep]
         n = int(keep.sum())
-        out = bytearray()
-        out += n.to_bytes(4, "little")
-        out += np.ascontiguousarray(
-            idx_sorted[keep].astype("<u4")).tobytes()
-        # scalars in (entry, elem) order == reference serialize_openings
-        out += V.to_bytes_le_block(leaf.reshape(16, n * leaf_elems))
-        out += V.to_bytes_le_block(
-            path.transpose(0, 2, 1).reshape(16, n * depth))
-        return bytes(out)
+        vals = _scalars_of_block(
+            leaf.reshape(16, n * leaf_elems), n, leaf_elems)
+        return serialize_stir_answers(vals)
+
+    return build
+
+
+def _deferred_builder():
+    def build(block):
+        import numpy as np
+        from .hints import serialize_scalar_vec
+        arr = np.asarray(block)
+        k = arr.shape[1]
+        return serialize_scalar_vec(_scalars_of_block(arr, 1, k)[0])
 
     return build
 
@@ -92,7 +132,11 @@ def _openings_builder(leaf_elems: int, depth: int):
 def _open_oracle_dev(transcript, encoding: jax.Array,
                      tree: merkle.MerkleTree, idx_sorted: jax.Array,
                      fold_size: int) -> None:
-    """Gather leaf values + auth paths on device; defer hint serialization."""
+    """Gather leaf values + auth paths on device; defer hint serialization.
+
+    Emits the reference's two hints per opening — ``merkle_proof``
+    (MultiPath) then ``stir_answers`` (leaf field elements) — as parsed by
+    recursive-verifier/app/circuit/common.go:44-63."""
     k = encoding.shape[1]
     n = encoding.shape[2]
     per_leaf = n // fold_size
@@ -106,9 +150,10 @@ def _open_oracle_dev(transcript, encoding: jax.Array,
     view = encoding.reshape(16, -1)
     leaf_block = V.from_mont(view[:, flat_idx])
     path_block = merkle.open_gather_dev(tree, idx_sorted)
-    transcript.hint_arrays(
-        _openings_builder(k * fold_size, tree.depth),
-        [idx_sorted, leaf_block, path_block])
+    transcript.hint_arrays(_multipath_builder(tree.depth),
+                           [idx_sorted, path_block])
+    transcript.hint_arrays(_answers_builder(k * fold_size),
+                           [idx_sorted, leaf_block])
 
 
 def _send_pow_dev(transcript, bits: float) -> None:
@@ -116,19 +161,21 @@ def _send_pow_dev(transcript, bits: float) -> None:
     transcript.add_scalars_dev(pow_mod.solve_dev(ch, bits))
 
 
-def _sumcheck_rounds_dev(transcript, fw: jax.Array, count: int) -> jax.Array:
-    """count cubic rounds + sponge advance in ONE device dispatch."""
+def _sumcheck_rounds_dev(transcript, fw: jax.Array, count: int):
+    """count cubic rounds + sponge advance in ONE device dispatch.
+
+    Returns (folded fw, alphas (16, count) canonical)."""
     if count == 0:
-        return fw
+        return fw, jnp.zeros((16, 0), dtype=jnp.uint32)
     from ..ops import fused
     assert transcript.absorb_pos == 0, "segment must start after a squeeze"
     n_in = fw.shape[2]
-    fw_full, state2, coeffs_arr, _ = fused.whir_sumcheck_segment(
+    fw_full, state2, coeffs_arr, alphas = fused.whir_sumcheck_segment(
         fw, transcript.state, count)
     chunks = [coeffs_arr[:, i, :] for i in range(count)]
     transcript.replay_fused(state2, chunks,
                             [("A", 3), ("S", 1)] * count)
-    return fw_full[:, :, :n_in >> count]
+    return fw_full[:, :, :n_in >> count], alphas
 
 
 def _stir_ranks(qs_canon: jax.Array, folded_domain: int):
@@ -156,18 +203,23 @@ def prove(transcript, config: WhirConfig, commitment: ProverCommitment,
     n_cons = len(statement.constraints)
     pw = D.powers(chat, max(1, n_ood + n_cons))
 
+    from ..parallel import context as pctx
     if n_ood:
         ood_coords = D.univ_to_ml(D.to_mont(commitment.ood_points), m)
-        w = sc.combine_eq_weights_dev(ood_coords, pw[:, :n_ood], m)
+        w = pctx.shard_last(
+            sc.combine_eq_weights_dev(ood_coords, pw[:, :n_ood], m))
     else:
-        w = V.zeros((1 << m,))
+        w = pctx.shard_last(V.zeros((1 << m,)))
     for j, (wt, _) in enumerate(statement.constraints):
         w = V.add_mod(w, D.mul(pw[:, n_ood + j:n_ood + j + 1], wt.table()))
 
     fw = jnp.stack([commitment.combined, w], axis=1)  # (16, 2, 2^m)
 
+    all_alphas = []  # (16, k) canonical chunks, in draw order
+
     with span("initial_sumcheck"):
-        fw = _sumcheck_rounds_dev(transcript, fw, iff)
+        fw, alphas = _sumcheck_rounds_dev(transcript, fw, iff)
+        all_alphas.append(alphas)
 
     prev_encoding = commitment.encoding
     prev_tree = commitment.tree
@@ -226,7 +278,9 @@ def prove(transcript, config: WhirConfig, commitment: ProverCommitment,
             fw = _add_to_w(fw, w_add)
 
         with span(f"round{r}_sumcheck"):
-            fw = _sumcheck_rounds_dev(transcript, fw, rc.folding_factor)
+            fw, alphas = _sumcheck_rounds_dev(transcript, fw,
+                                              rc.folding_factor)
+            all_alphas.append(alphas)
 
         prev_encoding = enc.reshape(16, 1, 1 << log_dom)
         prev_tree = tree
@@ -246,10 +300,23 @@ def prove(transcript, config: WhirConfig, commitment: ProverCommitment,
     _open_oracle_dev(transcript, prev_encoding, prev_tree, idx_sorted,
                      prev_fold_size)
 
-    fw = _sumcheck_rounds_dev(transcript, fw, config.final_sumcheck_rounds)
+    fw, alphas = _sumcheck_rounds_dev(transcript, fw,
+                                      config.final_sumcheck_rounds)
+    all_alphas.append(alphas)
 
     if config.final_folding_pow_bits > 0:
         _send_pow_dev(transcript, config.final_folding_pow_bits)
+
+    # deferred weight evaluations: each statement weight's MLE at the full
+    # folding point (the values the reference verifier defers to gnark —
+    # circuit.go:75-79; our native verifier re-derives and CHECKS them)
+    binders = jnp.concatenate(all_alphas, axis=1)       # (16, m) canonical
+    point = D.to_mont(binders[:, ::-1])                 # MSB-first coords
+    coords = point.reshape(16, m, 1)
+    evs = [sc.eval_multilinear_batch_dev(wt.table(), coords)
+           for wt, _ in statement.constraints]
+    evs_c = D.from_mont(jnp.concatenate(evs, axis=1))
+    transcript.hint_arrays(_deferred_builder(), [evs_c])
 
 
 @jax.jit

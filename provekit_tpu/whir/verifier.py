@@ -17,7 +17,8 @@ from ..fields import bn254 as F
 from ..ops import merkle
 from ..ops import pow as pow_mod
 from .fold import fold_opened_leaf, rlc_leaf
-from .hints import deserialize_openings
+from .hints import (deserialize_multipath, deserialize_scalar_vec,
+                    deserialize_stir_answers)
 from .parameters import WhirConfig
 from .statement import Statement, univariate_to_multilinear_point
 
@@ -68,20 +69,51 @@ def _check_pow(transcript, bits: float) -> None:
 
 
 def _read_sumcheck_rounds(transcript, claim: int, count: int, binders: list):
-    from ..ops.sumcheck import eval_cubic
+    """Quadratic sumcheck rounds in the whir crate's EVALUATION basis:
+    each round sends [h(0), h(1), h(2)]; check h(0)+h(1) == claim, then
+    interpolate at the drawn alpha (gnark utilities.go:148-170)."""
     for _ in range(count):
-        coeffs = transcript.next_scalars(3)
-        if (2 * coeffs[0] + coeffs[1] + coeffs[2]) % F.P != claim:
+        e0, e1, e2 = transcript.next_scalars(3)
+        if (e0 + e1) % F.P != claim:
             raise WhirError("sumcheck consistency failed")
         alpha = transcript.challenge_scalars(1)[0]
         binders.append(alpha)
-        claim = eval_cubic(coeffs, alpha)
+        b1 = (4 * e1 - e2 - 3 * e0) * F.HALF % F.P
+        b2 = (e2 - 2 * e1 + e0) * F.HALF % F.P
+        claim = (b2 * alpha % F.P * alpha + b1 * alpha + e0) % F.P
     return claim
 
 
 def _stir_indices(transcript, num_queries: int, folded_domain: int) -> list[int]:
     scalars = transcript.challenge_scalars(num_queries)
     return sorted({s % folded_domain for s in scalars})
+
+
+def _read_openings(transcript, indices: list[int], depth: int,
+                   leaf_elems: int):
+    """Parse the (merkle_proof, stir_answers) hint pair for one opening.
+
+    Returns (leaf_values, bottom_up_paths); raises WhirError on any
+    structural mismatch.  Wire format: whir/hints.py (the Go verifier's
+    common.go:44-63 / mt.go:37-60 surface)."""
+    try:
+        idx_mp, siblings, topdown = deserialize_multipath(
+            transcript.hint_bytes())
+        leaf_values = deserialize_stir_answers(transcript.hint_bytes())
+    except ValueError as e:
+        raise WhirError(f"malformed opening hint: {e}") from None
+    if idx_mp != indices:
+        raise WhirError("hinted indices do not match drawn queries")
+    if len(leaf_values) != len(indices):
+        raise WhirError("stir_answers count mismatch")
+    if any(len(v) != leaf_elems for v in leaf_values):
+        raise WhirError("stir_answers leaf width mismatch")
+    paths = []
+    for sib, td in zip(siblings, topdown):
+        if len(td) != max(0, depth - 1):
+            raise WhirError("auth path depth mismatch")
+        paths.append(([sib] if depth else []) + list(reversed(td)))
+    return leaf_values, paths
 
 
 def verify(transcript, config: WhirConfig, commitment: ParsedCommitment,
@@ -140,10 +172,8 @@ def verify(transcript, config: WhirConfig, commitment: ParsedCommitment,
         indices = _stir_indices(transcript, rc.num_queries, folded_domain)
         depth = folded_domain.bit_length() - 1
         leaf_elems = prev_batch * prev_fold_size
-        h_idx, leaf_values, paths = deserialize_openings(
-            transcript.hint_bytes(), leaf_elems, depth)
-        if h_idx != indices:
-            raise WhirError("hinted indices do not match drawn queries")
+        leaf_values, paths = _read_openings(transcript, indices, depth,
+                                            leaf_elems)
         omega_prev = F.root_of_unity(prev_log_domain)
         for idx, vals, path in zip(indices, leaf_values, paths):
             if not merkle.verify_path(prev_root, vals, idx, path):
@@ -183,10 +213,8 @@ def verify(transcript, config: WhirConfig, commitment: ParsedCommitment,
     indices = _stir_indices(transcript, config.final_queries, folded_domain)
     depth = folded_domain.bit_length() - 1
     leaf_elems = prev_batch * prev_fold_size
-    h_idx, leaf_values, paths = deserialize_openings(
-        transcript.hint_bytes(), leaf_elems, depth)
-    if h_idx != indices:
-        raise WhirError("hinted final indices do not match drawn queries")
+    leaf_values, paths = _read_openings(transcript, indices, depth,
+                                        leaf_elems)
     omega_prev = F.root_of_unity(prev_log_domain)
     for idx, vals, path in zip(indices, leaf_values, paths):
         if not merkle.verify_path(prev_root, vals, idx, path):
@@ -210,12 +238,30 @@ def verify(transcript, config: WhirConfig, commitment: ParsedCommitment,
     if config.final_folding_pow_bits > 0:
         _check_pow(transcript, config.final_folding_pow_bits)
 
+    # deferred weight evaluations: the reference verifier trusts this hint
+    # and hands the check to the gnark circuit (circuit.go:75-79); this
+    # verifier re-derives the statement-weight MLE evaluations and REJECTS
+    # a lying hint.
+    try:
+        deferred_hint = deserialize_scalar_vec(transcript.hint_bytes())
+    except ValueError as e:
+        raise WhirError(f"malformed deferred hint: {e}") from None
+    if len(deferred_hint) != len(statement.constraints):
+        raise WhirError("deferred_weight_evaluations count mismatch")
+
     # final identity: claim == W(binders) * f_final(final_binders)
     w_eval = 0
+    evals_at_point = []
     for coeff, eval_fn, bound_before in deferred:
         gamma_seq = binders[bound_before:]
         point = list(reversed(gamma_seq))
-        w_eval = (w_eval + coeff * eval_fn(point)) % F.P
+        ev = eval_fn(point)
+        evals_at_point.append(ev)
+        w_eval = (w_eval + coeff * ev) % F.P
+    n_ood = len(commitment.ood_points)
+    stmt_evals = evals_at_point[n_ood:n_ood + len(statement.constraints)]
+    if stmt_evals != deferred_hint:
+        raise WhirError("deferred weight evaluations do not match")
 
     f_final = 0
     fin_point = list(reversed(final_binders))

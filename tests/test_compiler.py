@@ -112,6 +112,72 @@ def test_ram():
     assert not scheme.r1cs.is_satisfied(z)
 
 
+def test_memory_predicates_and_expression_index():
+    """Predicated MemoryOps + expression indices (beyond the reference,
+    which asserts predicate.is_none() — noir_to_r1cs.rs:283).
+
+    ACVM semantics: a disabled (p=0) read assigns 0 to its value witness; a
+    disabled write is skipped.  The lowering rewrites ops against a scratch
+    slot (compiler/noir_to_r1cs.py::add_memory_op)."""
+    w = acir.Witness
+    pred = acir.Expression.from_witness
+    ops = [
+        acir.MemoryInit(block_id=0, init=[w(0), w(1)]),
+        # store 9 at addr 0, predicated ON (w5=1)
+        acir.MemoryOp(0, acir.MemOp(1, pred(w(2)), pred(w(3))),
+                      predicate=pred(w(5))),
+        # store 11 at addr 0, predicated OFF (w6=0) -> must not land
+        acir.MemoryOp(0, acir.MemOp(1, pred(w(2)), pred(w(4))),
+                      predicate=pred(w(6))),
+        # read at expression index (w7 + 1) == addr 1 -> 6
+        acir.MemoryOp(0, acir.MemOp(
+            0, acir.Expression(linear_combinations=[(1, w(7))], q_c=1),
+            pred(w(8)))),
+        # disabled read -> value witness must be 0
+        acir.MemoryOp(0, acir.MemOp(0, pred(w(2)), pred(w(9))),
+                      predicate=pred(w(6))),
+        # enabled read back at addr 0 -> 9 (the ON store, not the OFF one)
+        acir.MemoryOp(0, acir.MemOp(0, pred(w(2)), pred(w(10))),
+                      predicate=pred(w(5))),
+    ]
+    c = acir.Circuit(opcodes=ops)
+    vals = {0: 5, 1: 6, 2: 0, 3: 9, 4: 11, 5: 1, 6: 0, 7: 0, 8: 6,
+            9: 0, 10: 9}
+    scheme, _ = check_satisfied(wrap(c), vals)
+    # a disabled read claiming a non-zero value must fail
+    bad = dict(vals)
+    bad[9] = 5
+    witness = scheme.solve_witness(bad, rng=random.Random(6))
+    z = V.pack([F.to_mont(v) for v in witness])
+    assert not scheme.r1cs.is_satisfied(z)
+    # the disabled store must not be claimable as landed
+    bad = dict(vals)
+    bad[10] = 11
+    witness = scheme.solve_witness(bad, rng=random.Random(6))
+    z = V.pack([F.to_mont(v) for v in witness])
+    assert not scheme.r1cs.is_satisfied(z)
+
+
+def test_memory_predicate_rom_and_executor_parity():
+    """Predicated reads on a read-only block, values produced by the real
+    ACVM executor (acir/execute.py) rather than hand-fed."""
+    from provekit_tpu.acir.execute import execute_program
+    w = acir.Witness
+    pred = acir.Expression.from_witness
+    ops = [
+        acir.MemoryInit(block_id=0, init=[w(0), w(1), w(2)]),
+        acir.MemoryOp(0, acir.MemOp(0, pred(w(3)), pred(w(4))),
+                      predicate=pred(w(5))),
+        acir.MemoryOp(0, acir.MemOp(0, pred(w(3)), pred(w(6))),
+                      predicate=acir.Expression.constant(0)),
+    ]
+    c = acir.Circuit(opcodes=ops, private_parameters=[0, 1, 2, 3, 5])
+    inputs = {0: 10, 1: 20, 2: 30, 3: 2, 5: 1}
+    acir_values = execute_program(wrap(c), inputs)
+    assert acir_values[4] == 30 and acir_values[6] == 0
+    check_satisfied(wrap(c), acir_values)
+
+
 def test_range_check_small_naive():
     # 2-bit checks on 3 witnesses (below lookup threshold -> naive product)
     w = acir.Witness

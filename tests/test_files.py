@@ -154,23 +154,58 @@ def test_bad_magic_and_version(tmp_path):
 
 
 def test_gnark_export(tmp_path):
+    import random
     scheme = small_scheme()
+    vals = {0: 3, 1: 5, 2: 15, 3: 7, 4: 9, 5: 0, 6: 7}
+    witness = scheme.solve_witness(vals, rng=random.Random(2))
+    proof = scheme.whir_for_witness.prove(scheme.r1cs, witness,
+                                          rng=random.Random(4))
     io_pattern = scheme.whir_for_witness.create_io_pattern().as_bytes()
     gnark.write_gnark_inputs(
-        scheme.whir_for_witness, scheme.r1cs, b"\x01\x02", io_pattern,
+        scheme.whir_for_witness, scheme.r1cs, proof, io_pattern,
         tmp_path / "params", tmp_path / "r1cs.json")
     params = json.loads((tmp_path / "params").read_text())
+    # every field of the Go Config struct (types.go:88-99)
     for key in ("whir_config_witness", "whir_config_hiding_spartan",
-                "log_num_constraints", "log_num_variables", "io_pattern",
-                "transcript", "transcript_len"):
+                "log_num_constraints", "log_num_variables",
+                "log_a_num_terms", "io_pattern", "transcript",
+                "transcript_len", "witness_statement_evaluations",
+                "blinding_statement_evaluations"):
         assert key in params, key
-    assert params["transcript"] == [1, 2]
+    assert params["transcript"] == list(proof)
+    assert params["transcript_len"] == len(proof)
+    assert len(params["witness_statement_evaluations"]) == 3
+    assert len(params["blinding_statement_evaluations"]) == 1
     wcfg = params["whir_config_witness"]
     assert wcfg["batch_size"] == 2
     assert wcfg["folding_factor"][0] >= 1
+
+    # r1cs.json: the Rust serde schema the Go side parses
+    # (matrix_evaluation.go:9-33, common.go:109)
     r1cs_doc = json.loads((tmp_path / "r1cs.json").read_text())
-    assert len(r1cs_doc["a"]["entries"]) == scheme.r1cs.a.nnz
-    assert r1cs_doc["num_witnesses"] == scheme.r1cs.num_witnesses
+    assert r1cs_doc["num_public_inputs"] == scheme.r1cs.num_public_inputs
+    a = r1cs_doc["a"]
+    assert len(a["col_indices"]) == scheme.r1cs.a.nnz
+    assert len(a["col_indices"]) == len(a["values"])
+    assert len(a["new_row_indices"]) == a["num_rows"]
+    # interner: hex of ark-compressed Vec<Fr>
+    blob = bytes.fromhex(r1cs_doc["interner"]["values"])
+    n = int.from_bytes(blob[:8], "little")
+    assert n == len(scheme.r1cs.interner.values)
+    assert len(blob) == 8 + 32 * n
+    got = [int.from_bytes(blob[8 + 32 * i:8 + 32 * (i + 1)], "little")
+           for i in range(n)]
+    assert got == list(scheme.r1cs.interner.values)
+    # CSR walk (verifyCircuit's loop, circuit.go:106-119) recovers all cells
+    cells = []
+    for i in range(a["num_rows"]):
+        end = (a["new_row_indices"][i + 1]
+               if i + 1 < a["num_rows"] else len(a["values"]))
+        for j in range(a["new_row_indices"][i], end):
+            cells.append((i, a["col_indices"][j], a["values"][j]))
+    want = sorted(zip(scheme.r1cs.a.rows, scheme.r1cs.a.cols,
+                      scheme.r1cs.a.value_ids))
+    assert cells == want
 
 
 def test_abi_encoding():
