@@ -85,6 +85,44 @@ def _masked_sum(x: jax.Array, active_pairs: jax.Array) -> jax.Array:
     return V.sum_mod(x)
 
 
+# --- per-round message math (shared by the fused segments and the
+#     per-round mesh path; see whir/prover._sumcheck_rounds_mesh) ----------
+
+
+def whir_round_messages(h0, h1, h2):
+    """Quadratic sums (Montgomery (16,1)) -> wire messages [h(0),h(1),h(2)].
+
+    The whir crate's sumcheck wire basis is EVALUATIONS (gnark
+    runWhirSumcheckRounds checks e0+e1 == claim and interpolates,
+    whir_utilities.go:102-126)."""
+    e1 = V.add_mod(V.add_mod(h0, h1), h2)
+    e2 = V.add_mod(e1, V.add_mod(h1, V.add_mod(h2, V.add_mod(h2, h2))))
+    return [h0, e1, e2]
+
+
+def spartan_round_coeffs(f0, fm1, finf, claim, prefix, g, pm, sm, sfx,
+                         rho, half_c):
+    """ZK-combined cubic coefficients [cc0..cc3] for one Spartan round.
+
+    All inputs (16, 1) Montgomery; ``g`` is the round's blinding cubic as a
+    list of 4.  Mirrors the blinding-coefficient algebra of
+    ``run_zk_sumcheck_prover`` (reference prover/src/whir_r1cs.rs:103-180).
+    """
+    const_term = V.add_mod(_mm(pm, prefix), _mm(sm, sfx))
+    gp0 = V.add_mod(_mm(pm, g[0]), const_term)
+    gp1, gp2, gp3 = (_mm(pm, g[k]) for k in (1, 2, 3))
+
+    cc0 = V.add_mod(f0, _mm(rho, gp0))
+    g_at_m1 = V.sub_mod(V.add_mod(gp0, gp2), V.add_mod(gp1, gp3))
+    comb_m1 = V.add_mod(fm1, _mm(rho, g_at_m1))
+    three_c0 = V.add_mod(V.add_mod(cc0, cc0), cc0)
+    cc2 = _mm(half_c, V.sub_mod(V.add_mod(claim, comb_m1), three_c0))
+    cc3 = V.add_mod(finf, _mm(rho, gp3))
+    cc1 = V.sub_mod(V.sub_mod(claim, V.add_mod(cc0, cc0)),
+                    V.add_mod(cc3, cc2))
+    return [cc0, cc1, cc2, cc3]
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def whir_sumcheck_segment(fw: jax.Array, state: jax.Array, count: int):
     """count WHIR rounds in one dispatch.
@@ -107,12 +145,7 @@ def whir_sumcheck_segment(fw: jax.Array, state: jax.Array, count: int):
         h1 = _masked_sum(V.add_mod(_mm(f0, dw), _mm(w0, df)), ap).reshape(16, 1)
         h2 = _masked_sum(_mm(df, dw), ap).reshape(16, 1)
 
-        # emit EVALUATIONS [h(0), h(1), h(2)] — the whir crate's sumcheck
-        # wire basis (gnark runWhirSumcheckRounds checks e0+e1 == claim and
-        # interpolates, whir_utilities.go:102-126 / utilities.go:148-170)
-        e1 = V.add_mod(V.add_mod(h0, h1), h2)
-        e2 = V.add_mod(e1, V.add_mod(h1, V.add_mod(h2, V.add_mod(h2, h2))))
-        hc = [_from_mont1(x) for x in (h0, e1, e2)]
+        hc = [_from_mont1(x) for x in whir_round_messages(h0, h1, h2)]
         coeffs = jax.lax.dynamic_update_slice(
             coeffs, jnp.stack(hc, axis=2).reshape(16, 1, 3), (0, j, 0))
         state = _absorb_seq(state, hc)
@@ -181,20 +214,8 @@ def spartan_sumcheck_fused(abce: jax.Array, state: jax.Array,
         sm = jax.lax.dynamic_slice_in_dim(sms, idx, 1, axis=1)
         sfx = jax.lax.dynamic_slice_in_dim(suffix, idx, 1, axis=1)
 
-        const_term = V.add_mod(_mm(pm, prefix), _mm(sm, sfx))
-        gp0 = V.add_mod(_mm(pm, g[0]), const_term)
-        gp1, gp2, gp3 = (_mm(pm, g[k]) for k in (1, 2, 3))
-
-        cc0 = V.add_mod(f0, _mm(rho, gp0))
-        g_at_m1 = V.sub_mod(V.add_mod(gp0, gp2), V.add_mod(gp1, gp3))
-        comb_m1 = V.add_mod(fm1, _mm(rho, g_at_m1))
-        three_c0 = V.add_mod(V.add_mod(cc0, cc0), cc0)
-        cc2 = _mm(half_c, V.sub_mod(V.add_mod(claim, comb_m1), three_c0))
-        cc3 = V.add_mod(finf, _mm(rho, gp3))
-        cc1 = V.sub_mod(V.sub_mod(claim, V.add_mod(cc0, cc0)),
-                        V.add_mod(cc3, cc2))
-
-        cs = [cc0, cc1, cc2, cc3]
+        cs = spartan_round_coeffs(f0, fm1, finf, claim, prefix, g,
+                                  pm, sm, sfx, rho, half_c)
         cs_canon = [_from_mont1(c) for c in cs]
         coeffs = jax.lax.dynamic_update_slice(
             coeffs, jnp.stack(cs_canon, axis=2).reshape(16, 1, 4), (0, idx, 0))

@@ -298,13 +298,75 @@ def _eq_batch_dev(rs, omrs, start, m: int):
     return e
 
 
+# Element cap for any single mont_mul batch inside eq combine/eval.  A
+# B-element mont_mul transiently materializes tens of (32, B) u32 column
+# arrays; the direct (P, 2^m) table build OOMed a 16 GB v5e at reference
+# parameters (u32[32,128,2^15] temps x20 in BENCH_r02).  2^19 keeps the
+# transient working set around ~25-50 MB per chunk.
+_EQ_CHUNK = int(os.environ.get("PROVEKIT_TPU_EQ_CHUNK", str(1 << 19)))
+
+
+def _eq_split(rs, omrs, scale, m: int):
+    """Factorize P eq-tables: (hi (16,P,2^mh) scaled, lo (16,P,2^ml)).
+
+    table_p[jhi * 2^ml + jlo] == hi_p[jhi] * lo_p[jlo]; coords 0..mh-1 are
+    the index MSBs (same bit order as :func:`_eq_batch_dev`).
+    """
+    mh = m // 2
+    ml = m - mh
+    p = rs.shape[2]
+    hi = _eq_batch_dev(rs[:, :mh], omrs[:, :mh], scale, mh)
+    one = V.broadcast_scalar(jnp.asarray(V.R_LIMBS), (p, 1))
+    lo = _eq_batch_dev(rs[:, mh:], omrs[:, mh:], one, ml)
+    return hi, lo, mh, ml
+
+
+def _hi_block(mh: int, ml: int) -> tuple[int, int]:
+    """Power-of-two hi-axis block size keeping block * 2^ml <= _EQ_CHUNK."""
+    hb = 1 << min(mh, max(0, (_EQ_CHUNK >> ml).bit_length() - 1))
+    return hb, (1 << mh) // hb
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def _eq_combine_dev(rs, omrs, coeffs, m: int):
-    e = _eq_batch_dev(rs, omrs, coeffs[:, :, None], m)
-    while e.shape[1] > 1:
-        h = e.shape[1] // 2
-        e = V.add_mod(e[:, :h], e[:, h:])
-    return e.reshape(16, e.shape[2])
+    """sum_p coeffs[p] * eq(r_p, .) as a (16, 2^m) table, memory-bounded.
+
+    Direct build for small tables; otherwise each point's table is the
+    outer product of two half-tables, accumulated point-by-point with a
+    ``lax.scan`` whose inner blocks never exceed ~_EQ_CHUNK elements (the
+    direct (P, 2^m) build peaks at P * 2^m * ~50 u32s of HBM temps).
+    """
+    p = rs.shape[2]
+    if (1 << m) * p <= _EQ_CHUNK:
+        e = _eq_batch_dev(rs, omrs, coeffs[:, :, None], m)
+        while e.shape[1] > 1:
+            h = e.shape[1] // 2
+            e = V.add_mod(e[:, :h], e[:, h:])
+        return e.reshape(16, e.shape[2])
+
+    hi, lo, mh, ml = _eq_split(rs, omrs, coeffs[:, :, None], m)
+    nlo = 1 << ml
+    hb, nb = _hi_block(mh, ml)
+
+    def point_step(acc, xs):
+        hi_p, lo_p = xs                                   # (16,2^mh),(16,nlo)
+        hib = hi_p.reshape(16, nb, hb)
+        lob = jnp.broadcast_to(lo_p[:, None, None, :], (16, 1, hb, nlo))
+
+        def blk(i, acc):
+            h = jax.lax.dynamic_slice_in_dim(hib, i, 1, axis=1)
+            prod = V.mont_mul(
+                jnp.broadcast_to(h[..., None], (16, 1, hb, nlo)), lob)
+            cur = jax.lax.dynamic_slice_in_dim(acc, i, 1, axis=1)
+            return jax.lax.dynamic_update_slice_in_dim(
+                acc, V.add_mod(cur, prod), i, axis=1)
+
+        return jax.lax.fori_loop(0, nb, blk, acc), None
+
+    acc0 = jnp.zeros((16, nb, hb, nlo), dtype=V.U32)
+    xs = (jnp.moveaxis(hi, 1, 0), jnp.moveaxis(lo, 1, 0))
+    acc, _ = jax.lax.scan(point_step, acc0, xs)
+    return acc.reshape(16, 1 << m)
 
 
 def combine_eq_weights(coords_list: list[list[int]], coeffs: list[int],
@@ -358,9 +420,39 @@ def eval_multilinear_batch_dev(evals: jax.Array,
 
 @functools.partial(jax.jit, static_argnums=(4,))
 def _eval_batch_dev(rs, omrs, start, evals, m: int):
-    tables = _eq_batch_dev(rs, omrs, start, m)
-    prod = V.mont_mul(tables, evals[:, None, :])
-    return V.sum_mod(prod, axis=2)
+    """<eq(r_p, .), evals> per point, memory-bounded like _eq_combine_dev.
+
+    Uses the eq factorization: sum_j ev[j] eq_p[j] =
+    sum_jhi hi_p[jhi] * (sum_jlo ev[jhi, jlo] * lo_p[jlo]).
+    """
+    p = rs.shape[2]
+    if (1 << m) * p <= _EQ_CHUNK:
+        tables = _eq_batch_dev(rs, omrs, start, m)
+        prod = V.mont_mul(tables, evals[:, None, :])
+        return V.sum_mod(prod, axis=2)
+
+    hi, lo, mh, ml = _eq_split(rs, omrs, start, m)
+    nhi, nlo = 1 << mh, 1 << ml
+    hb, nb = _hi_block(mh, ml)
+    ev2 = evals.reshape(16, nhi, nlo)
+
+    def point_step(_, xs):
+        hi_p, lo_p = xs
+        lob = jnp.broadcast_to(lo_p[:, None, :], (16, hb, nlo))
+
+        def blk(i, acc):
+            evb = jax.lax.dynamic_slice_in_dim(ev2, i * hb, hb, axis=1)
+            partial = V.sum_mod(V.mont_mul(evb, lob), axis=2)  # (16, hb)
+            return jax.lax.dynamic_update_slice_in_dim(acc, partial,
+                                                       i * hb, axis=1)
+
+        partials = jax.lax.fori_loop(
+            0, nb, blk, jnp.zeros((16, nhi), dtype=V.U32))
+        return None, V.sum_mod(V.mont_mul(partials, hi_p), axis=1)
+
+    _, vals = jax.lax.scan(point_step, None,
+                           (jnp.moveaxis(hi, 1, 0), jnp.moveaxis(lo, 1, 0)))
+    return jnp.moveaxis(vals, 0, 1)
 
 
 def eval_multilinear_batch(evals: jax.Array,

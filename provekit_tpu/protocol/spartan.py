@@ -238,15 +238,23 @@ def run_zk_sumcheck_prover(r1cs, z, transcript, m_0: int,
         sfx.append(s % F.P)
     g_arr = V.pack([F.to_mont(x) for g in g_cubics for x in g]
                    ).reshape(16, m_0, 4)
+    pms_a = V.pack([F.to_mont(p) for p in pms])
+    sms_a = V.pack([F.to_mont(s) for s in sms])
+    sfx_a = V.pack([F.to_mont(s) for s in sfx])
     assert transcript.absorb_pos == 0
-    state2, coeffs_arr, alphas_c = fused.spartan_sumcheck_fused(
-        abce, transcript.state, claim0, rho_m, g_arr,
-        V.pack([F.to_mont(p) for p in pms]),
-        V.pack([F.to_mont(s) for s in sms]),
-        V.pack([F.to_mont(s) for s in sfx]), m_0)
-    transcript.replay_fused(
-        state2, [coeffs_arr[:, i, :] for i in range(m_0)],
-        [("A", 4), ("S", 1)] * m_0)
+    if pctx.active_mesh() is not None:
+        # Per-round kernels: the fused segment's unrolled body is too
+        # expensive for the GSPMD partitioner; small graphs + psum'd round
+        # sums scale across the mesh (byte-identical messages).
+        alphas_c = _spartan_rounds_mesh(transcript, abce, claim0, rho_m,
+                                        g_arr, pms_a, sms_a, sfx_a, m_0)
+    else:
+        state2, coeffs_arr, alphas_c = fused.spartan_sumcheck_fused(
+            abce, transcript.state, claim0, rho_m, g_arr,
+            pms_a, sms_a, sfx_a, m_0)
+        transcript.replay_fused(
+            state2, [coeffs_arr[:, i, :] for i in range(m_0)],
+            [("A", 4), ("S", 1)] * m_0)
     alphas_m = D.to_mont(alphas_c)
 
     stmt, f_sum, g_sum = _blinding_statement_dev(m_commit, alphas_m, com)
@@ -254,6 +262,40 @@ def run_zk_sumcheck_prover(r1cs, z, transcript, m_0: int,
         jnp.concatenate([f_sum, g_sum], axis=1)))
     prover.prove(transcript, blinding_config, com, stmt)
     return SpartanProverOutput(r=r_m, alpha=alphas_m)
+
+
+def _spartan_rounds_mesh(transcript, abce, claim0, rho_m, g_arr,
+                         pms_a, sms_a, sfx_a, m_0: int):
+    """Per-round ZK-Spartan sumcheck for the mesh path.
+
+    Computes exactly the messages of ``fused.spartan_sumcheck_fused`` (same
+    limb arithmetic — byte-identical transcript), one small round kernel +
+    device sponge ops at a time, so the SPMD compiles stay cheap and each
+    round's sums psum across the mesh.  Returns alphas (16, m_0) canonical.
+    """
+    import jax.numpy as jnp
+    from ..fs import device as D
+    from ..ops import fused
+
+    half_c = V.pack_scalar(F.to_mont(HALF)).reshape(16, 1)
+    claim = claim0
+    prefix = V.zeros((1,))
+    alphas = []
+    for idx in range(m_0):
+        f0, fm1, finf = sc.spartan_round_stacked(abce)
+        g = [g_arr[:, idx, k].reshape(16, 1) for k in range(4)]
+        cs = fused.spartan_round_coeffs(
+            f0.reshape(16, 1), fm1.reshape(16, 1), finf.reshape(16, 1),
+            claim, prefix, g, pms_a[:, idx:idx + 1], sms_a[:, idx:idx + 1],
+            sfx_a[:, idx:idx + 1], rho_m, half_c)
+        transcript.add_scalars_dev(D.from_mont(jnp.concatenate(cs, axis=1)))
+        alpha_c = transcript.challenge_scalars_dev(1)
+        alphas.append(alpha_c)
+        alpha_m = D.to_mont(alpha_c)
+        claim = fused._eval_poly_mont(cs, alpha_m)
+        prefix = V.add_mod(prefix, fused._eval_poly_mont(g, alpha_m))
+        abce = sc.fold_stacked_msb(abce, alpha_m[:, 0])
+    return jnp.concatenate(alphas, axis=1)
 
 
 @dataclass

@@ -162,11 +162,20 @@ def _send_pow_dev(transcript, bits: float) -> None:
 
 
 def _sumcheck_rounds_dev(transcript, fw: jax.Array, count: int):
-    """count cubic rounds + sponge advance in ONE device dispatch.
+    """count cubic rounds + sponge advance, minimal-dispatch.
 
-    Returns (folded fw, alphas (16, count) canonical)."""
+    Returns (folded fw, alphas (16, count) canonical).  Single-device the
+    whole segment runs in ONE dispatch (the round-sequential sponge costs a
+    transport round-trip per round otherwise — ~30 ms each on tunneled
+    chips).  Under an active mesh the rounds run one small kernel at a time
+    instead: the fused segment's unrolled body is pathologically expensive
+    for the GSPMD partitioner to compile, while per-round kernels compile in
+    seconds and let XLA psum each round's sums across the mesh."""
     if count == 0:
         return fw, jnp.zeros((16, 0), dtype=jnp.uint32)
+    from ..parallel import context as pctx
+    if pctx.active_mesh() is not None:
+        return _sumcheck_rounds_mesh(transcript, fw, count)
     from ..ops import fused
     assert transcript.absorb_pos == 0, "segment must start after a squeeze"
     n_in = fw.shape[2]
@@ -176,6 +185,24 @@ def _sumcheck_rounds_dev(transcript, fw: jax.Array, count: int):
     transcript.replay_fused(state2, chunks,
                             [("A", 3), ("S", 1)] * count)
     return fw_full[:, :, :n_in >> count], alphas
+
+
+def _sumcheck_rounds_mesh(transcript, fw: jax.Array, count: int):
+    """Per-round WHIR sumcheck: same messages/folds as the fused segment
+    (exact limb arithmetic — transcripts are byte-identical), small graphs.
+    """
+    from ..ops import fused
+    alphas = []
+    for _ in range(count):
+        h0, h1, h2 = sc.whir_round_stacked(fw)
+        msgs = fused.whir_round_messages(
+            h0.reshape(16, 1), h1.reshape(16, 1), h2.reshape(16, 1))
+        transcript.add_scalars_dev(
+            D.from_mont(jnp.concatenate(msgs, axis=1)))
+        alpha_c = transcript.challenge_scalars_dev(1)
+        alphas.append(alpha_c)
+        fw = sc.fold_stacked_lsb(fw, D.to_mont(alpha_c)[:, 0])
+    return fw, jnp.concatenate(alphas, axis=1)
 
 
 def _stir_ranks(qs_canon: jax.Array, folded_domain: int):

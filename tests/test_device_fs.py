@@ -73,6 +73,27 @@ def test_proof_bytes_regression():
     # for hints (merkle_proof / stir_answers / deferred_weight_evaluations /
     # claimed_evaluations in ark canonical encoding; the new hint labels
     # also change the IO-pattern IV).
+    # Re-pinned round 3: the round-2 snapshot landed the reference WHIR
+    # round-parameter schedule (whir/parameters.py mirroring
+    # gnark_config.rs:60-98) after the round-2 bump, changing per-round
+    # query/PoW counts and hence the transcript.
     assert hashlib.sha256(proof).hexdigest() == (
-        "c7c57278707ea8475678cc4c0c8194b78a0c7024cd39cbb445a51d1aa40f00b9")
+        "026e768d6e23b696045f62152e82f26bbdbeb59042320af52109aff4c50bfb6c")
     scheme.verify(r1cs, proof)
+
+
+def test_proof_bytes_regression_mesh():
+    """The per-round mesh prover path emits the SAME pinned digest.
+
+    ``prove(mesh=...)`` replaces the fused whole-segment sumcheck kernels
+    with per-round kernels (cheap SPMD compiles); a 1-device mesh pins
+    fused-vs-per-round bit-equality against the digest above."""
+    from provekit_tpu.parallel import make_mesh
+    from tests.test_e2e import build_system
+    from tests.test_verifier_circuit import tiny_scheme
+    r1cs, witness = build_system(seed=3, n_mults=1)
+    scheme = tiny_scheme(r1cs, security=3, folding=2, max_pow=2)
+    proof = scheme.prove(r1cs, witness, rng=random.Random(11),
+                         mesh=make_mesh(1))
+    assert hashlib.sha256(proof).hexdigest() == (
+        "026e768d6e23b696045f62152e82f26bbdbeb59042320af52109aff4c50bfb6c")

@@ -20,7 +20,12 @@ from tests.test_verifier_circuit import tiny_scheme
 def _prove_pair(n_devices: int, n_mults: int = 24):
     r1cs, witness = build_system(seed=5, n_mults=n_mults)
     scheme = tiny_scheme(r1cs, security=10, folding=2, max_pow=2)
-    base = scheme.prove(r1cs, witness, rng=random.Random(3))
+    # 1-device mesh baseline: both proves use the per-round kernels (the
+    # fused-segment kernels cost minutes per shape under the SPMD
+    # partitioner on this 2-vCPU host; fused==per-round bit-equality is
+    # pinned separately by test_device_fs::test_proof_bytes_regression_mesh).
+    base = scheme.prove(r1cs, witness, rng=random.Random(3),
+                        mesh=make_mesh(1))
     mesh = make_mesh(n_devices)
     sharded = scheme.prove(r1cs, witness, rng=random.Random(3), mesh=mesh)
     return scheme, r1cs, base, sharded
