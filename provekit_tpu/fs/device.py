@@ -41,6 +41,27 @@ def _c(x: int) -> jax.Array:
     return V.pack([x % F.P])
 
 
+# Host tails for the scalar-algebra builders: when syncs are declared cheap
+# (config.CHEAP_SYNC — CPU-hermetic flows) and inputs are concrete, tiny
+# power/coordinate/eq tables are computed as exact host ints instead of
+# compiling a fresh unrolled device executable per shape (~5-25 s each on
+# compile-bound hosts).  Bit-identical by construction.
+
+
+def _cheap(*xs) -> bool:
+    from .. import config
+    return (config.CHEAP_SYNC
+            and not any(isinstance(x, jax.core.Tracer) for x in xs))
+
+
+def _host_monts(a: jax.Array) -> list[int]:
+    return [F.from_mont(v) for v in V.unpack(a)]
+
+
+def _pack_mont(vals) -> jax.Array:
+    return V.pack([F.to_mont(v % F.P) for v in vals])
+
+
 @jax.jit
 def to_mont(a: jax.Array) -> jax.Array:
     r2 = jnp.asarray(V.R2_LIMBS)
@@ -88,9 +109,20 @@ def const_m(x: int, k: int = 1) -> jax.Array:
         jnp.asarray(V._const_limbs(F.to_mont(x)))[:, None], (16, k))
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
 def powers(g_m: jax.Array, k: int) -> jax.Array:
     """[1, g, g^2, ..., g^(k-1)] as (16, k) Montgomery (log-doubling)."""
+    if _cheap(g_m) and k <= 4096:
+        g = F.from_mont(V.unpack_scalar(g_m))
+        out, acc = [], 1
+        for _ in range(k):
+            out.append(acc)
+            acc = acc * g % F.P
+        return _pack_mont(out)
+    return _powers_jit(g_m, k)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _powers_jit(g_m: jax.Array, k: int) -> jax.Array:
     out = one_m(1)
     g_pow = g_m  # g^(2^s)
     while out.shape[1] < k:
@@ -101,12 +133,26 @@ def powers(g_m: jax.Array, k: int) -> jax.Array:
     return out[:, :k]
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
 def univ_to_ml(z_m: jax.Array, m: int) -> jax.Array:
     """(16, p) Montgomery points -> (16, m, p) MSB-first multilinear coords.
 
     coords[k] = z^(2^(m-1-k)) (statement.univariate_to_multilinear_point).
     """
+    if _cheap(z_m) and m * z_m.shape[1] <= 65536:
+        zs = _host_monts(z_m)
+        rows = [[0] * len(zs) for _ in range(m)]
+        for j, z in enumerate(zs):
+            acc = z
+            for k in range(m - 1, -1, -1):
+                rows[k][j] = acc
+                acc = acc * acc % F.P
+        flat = [v for row in rows for v in row]
+        return _pack_mont(flat).reshape(16, m, len(zs))
+    return _univ_to_ml_jit(z_m, m)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _univ_to_ml_jit(z_m: jax.Array, m: int) -> jax.Array:
     rows = [None] * m
     acc = z_m
     for k in range(m - 1, -1, -1):
@@ -123,13 +169,24 @@ def eval_cubic_m(coeffs, x_m: jax.Array) -> jax.Array:
     return acc
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
 def eq_table_dev(r_m: jax.Array, m: int) -> jax.Array:
     """eq(r, x) over the hypercube from device Montgomery coords (16, m).
 
     Same doubling order as ``ops.sumcheck.eq_table``: process coords in
     reverse so r[0] lands on the most-significant index bit.
     """
+    if _cheap(r_m) and (1 << m) <= 65536:
+        rs = _host_monts(r_m)
+        e = [1]
+        for r in reversed(rs):
+            omr = (1 - r) % F.P
+            e = [x * omr % F.P for x in e] + [x * r % F.P for x in e]
+        return _pack_mont(e)
+    return _eq_table_dev_jit(r_m, m)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _eq_table_dev_jit(r_m: jax.Array, m: int) -> jax.Array:
     e = one_m(1)
     one = one_m(1)
     for k in range(m - 1, -1, -1):
@@ -147,6 +204,10 @@ def pow_base(base: int, exps: jax.Array, log_bits: int) -> jax.Array:
 
     Square-and-multiply over the (static) bit width — log_bits tiny scalar
     muls instead of a 2^log_bits-entry power table."""
+    if _cheap(exps) and exps.shape[0] <= 4096:
+        import numpy as _np
+        es = _np.asarray(jax.device_get(exps)).tolist()
+        return _pack_mont([pow(base, int(e), F.P) for e in es])
     q = exps.shape[0]
     acc = one_m(q)
     for b in range(log_bits):
@@ -185,11 +246,22 @@ def _absorb_jit(state: jax.Array, arr: jax.Array, k: int,
 @functools.partial(jax.jit, static_argnums=(1,))
 def _squeeze_jit(state: jax.Array, n: int):
     from ..ops.fused import _permute_state
-    outs = []
-    for _ in range(n):
+    if n == 1:
         state = _permute_state(state)
-        outs.append(state[:, :1])
-    return state, jnp.concatenate(outs, axis=1)
+        return state, state[:, :1]
+
+    # fori_loop keeps ONE permute ladder in the graph instead of n copies:
+    # the unrolled 18-round ladder dominates XLA:CPU compile time for the
+    # multi-scalar squeezes (STIR queries squeeze up to ~100 at once).
+    def body(i, carry):
+        state, outs = carry
+        state = _permute_state(state)
+        outs = jax.lax.dynamic_update_slice(outs, state[:, :1], (0, i))
+        return state, outs
+
+    state, outs = jax.lax.fori_loop(
+        0, n, body, (state, jnp.zeros((16, n), dtype=jnp.uint32)))
+    return state, outs
 
 
 # ---------------------------------------------------------------------------

@@ -123,6 +123,48 @@ def spartan_round_coeffs(f0, fm1, finf, claim, prefix, g, pm, sm, sfx,
     return [cc0, cc1, cc2, cc3]
 
 
+# --- single-round scalar steps (mesh path) ---------------------------------
+# One jitted function per protocol, shape-constant across rounds: computes
+# the round's wire messages from the (16,1) sums, advances the sponge
+# (absorb + squeeze), and returns the Montgomery alpha for the fold.  The
+# per-round mesh drivers call [round-sum kernel] -> [this] -> [fold kernel],
+# so only the two per-shape kernels recompile as sizes halve.
+
+
+@jax.jit
+def whir_scalar_step(state: jax.Array, h0: jax.Array, h1: jax.Array,
+                     h2: jax.Array):
+    """-> (state', msgs_canon (16,3), alpha_canon (16,1), alpha_mont)."""
+    msgs = whir_round_messages(h0, h1, h2)
+    msgs_c = [_from_mont1(x) for x in msgs]
+    state = _absorb_seq(state, msgs_c)
+    state, alpha_c = _squeeze1(state)
+    return (state, jnp.concatenate(msgs_c, axis=1), alpha_c,
+            _to_mont1(alpha_c))
+
+
+@jax.jit
+def spartan_scalar_step(state: jax.Array, f0, fm1, finf, claim, prefix,
+                        g4: jax.Array, pm, sm, sfx, rho):
+    """One round's ZK-combination + sponge advance.
+
+    g4 is the round's blinding cubic as (16, 4).  Returns
+    (state', cs_canon (16,4), alpha_canon, alpha_mont, claim', prefix').
+    """
+    half_c = jnp.asarray(V._const_limbs(F.to_mont(F.HALF))).reshape(16, 1)
+    g = [g4[:, k:k + 1] for k in range(4)]
+    cs = spartan_round_coeffs(f0, fm1, finf, claim, prefix, g,
+                              pm, sm, sfx, rho, half_c)
+    cs_c = [_from_mont1(c) for c in cs]
+    state = _absorb_seq(state, cs_c)
+    state, alpha_c = _squeeze1(state)
+    alpha_m = _to_mont1(alpha_c)
+    claim = _eval_poly_mont(cs, alpha_m)
+    prefix = V.add_mod(prefix, _eval_poly_mont(g, alpha_m))
+    return (state, jnp.concatenate(cs_c, axis=1), alpha_c, alpha_m,
+            claim, prefix)
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def whir_sumcheck_segment(fw: jax.Array, state: jax.Array, count: int):
     """count WHIR rounds in one dispatch.

@@ -159,6 +159,10 @@ def commit_dev(leaves: jax.Array) -> MerkleTree:
     for second-long kernels (a sharded shard_map subtree build is the
     planned follow-up).
     """
+    from .. import config
+    if (config.CHEAP_SYNC and leaves.shape[2] <= DEVICE_LEVEL_MIN
+            and not isinstance(leaves, jax.core.Tracer)):
+        return commit(leaves)  # host build (native C++), device-array levels
     from ..parallel import context as pctx
     leaves = pctx.replicate(leaves)
     from . import pallas_kernels as PK
@@ -175,6 +179,19 @@ def open_gather_dev(tree: MerkleTree, indices: jax.Array) -> jax.Array:
 
     Sibling digests bottom-up, row-major by level (level d occupies columns
     [d*q, (d+1)*q)) — matches ``MerkleTree.open``'s flat gather layout."""
+    from .. import config
+    if (config.CHEAP_SYNC and not isinstance(indices, jax.core.Tracer)
+            and tree.num_leaves <= DEVICE_LEVEL_MIN):
+        idx = np.asarray(jax.device_get(indices)).astype(np.int64)
+        blocks = []
+        cur = idx
+        for level in tree.levels[:-1]:
+            lv = np.asarray(jax.device_get(level))
+            blocks.append(lv[:, cur ^ 1])
+            cur = cur >> 1
+        if not blocks:
+            return jnp.zeros((16, 0), dtype=jnp.uint32)
+        return jnp.asarray(np.concatenate(blocks, axis=1))
     gathered = []
     cur = indices
     for level in tree.levels[:-1]:

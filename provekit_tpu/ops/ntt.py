@@ -210,13 +210,21 @@ def _dev(vals: list[int]) -> jax.Array:
     return V.pack([F.to_mont(v) for v in vals])
 
 
+def _force_device(device: bool) -> bool:
+    """``device=True`` forces on-device unless syncs are declared cheap
+    (config.CHEAP_SYNC: CPU-hermetic flows where a host tail beats a fresh
+    one-op XLA compile)."""
+    from .. import config
+    return device and not config.CHEAP_SYNC
+
+
 def ntt(x: jax.Array, device: bool = False) -> jax.Array:
     """Forward NTT: coefficients -> evaluations at [w^0, w^1, ..., w^(n-1)].
 
     ``device=True`` forces the on-device path at any size (the
     device-resident prover must not sync; host tails fetch/put)."""
     n = x.shape[1]
-    if (not device and n <= HOST_TAIL
+    if (not _force_device(device) and n <= HOST_TAIL
             and not isinstance(x, jax.core.Tracer)):
         return _dev(_host_ntt(_host(x), n.bit_length() - 1, False))
     return _ntt_core(x, n.bit_length() - 1, False)
@@ -225,7 +233,7 @@ def ntt(x: jax.Array, device: bool = False) -> jax.Array:
 def intt(x: jax.Array, device: bool = False) -> jax.Array:
     """Inverse NTT: evaluations -> coefficients."""
     n = x.shape[1]
-    if (not device and n <= HOST_TAIL
+    if (not _force_device(device) and n <= HOST_TAIL
             and not isinstance(x, jax.core.Tracer)):
         return _dev(_host_ntt(_host(x), n.bit_length() - 1, True))
     return _ntt_core(x, n.bit_length() - 1, True)
@@ -237,7 +245,7 @@ def rs_encode(coeffs: jax.Array, log_domain: int,
     n = coeffs.shape[1]
     domain = 1 << log_domain
     assert domain >= n
-    if (not device and domain <= HOST_TAIL
+    if (not _force_device(device) and domain <= HOST_TAIL
             and not isinstance(coeffs, jax.core.Tracer)):
         vals = _host(coeffs) + [0] * (domain - n)
         return _dev(_host_ntt(vals, log_domain, False))
@@ -253,7 +261,7 @@ def wavelet(evals: jax.Array, inverse: bool = False,
     Inverse (coeffs->evals): hi += lo.
     """
     n = evals.shape[1]
-    if (not device and n <= HOST_TAIL
+    if (not _force_device(device) and n <= HOST_TAIL
             and not isinstance(evals, jax.core.Tracer)):
         x = _host(evals)
         log_n = n.bit_length() - 1

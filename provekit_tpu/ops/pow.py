@@ -141,10 +141,29 @@ def _solve_dev_jit(challenge: jax.Array, difficulty: float) -> jax.Array:
     return jnp.stack(limbs).reshape(16, 1)
 
 
+def solve_host_sequential(challenge: int, difficulty: float) -> int:
+    """First satisfying nonce by sequential scan (== the device solver's
+    smallest-in-first-hit-block nonce; same biased threshold)."""
+    if difficulty == 0.0:
+        return 0
+    from .. import native
+    cmp = native.compress if native.available() else S.compress
+    thresh = threshold(difficulty + PROVER_BIAS)
+    nonce = 0
+    while cmp(challenge, nonce) >= thresh:
+        nonce += 1
+    return nonce
+
+
 def solve_dev(challenge: jax.Array, difficulty: float) -> jax.Array:
     """(16,1) canonical device challenge -> (16,1) canonical device nonce."""
     if difficulty == 0.0:
         return jnp.zeros((16, 1), dtype=jnp.uint32)
+    from .. import config
+    if (config.CHEAP_SYNC and difficulty <= 12.0
+            and not isinstance(challenge, jax.core.Tracer)):
+        ch = V.unpack_scalar(challenge)
+        return V.pack([solve_host_sequential(ch, difficulty)])
     return _solve_dev_jit(challenge, difficulty)
 
 

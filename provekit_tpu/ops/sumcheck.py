@@ -148,9 +148,21 @@ def _spartan_round_dev(a: jax.Array, b: jax.Array, c: jax.Array, eq: jax.Array):
     return V.sum_mod(f0), V.sum_mod(fm1), V.sum_mod(finf)
 
 
-@jax.jit
 def weighted_sum(weights: jax.Array, values: jax.Array) -> jax.Array:
     """Modular dot product <weights, values>: (16,n)x(16,n) -> (16,)."""
+    from .. import config
+    if (config.CHEAP_SYNC and weights.shape[1] <= HOST_TAIL
+            and not _is_traced(weights, values)):
+        ws, vs = _host(weights), _host(values)
+        acc = 0
+        for w, v in zip(ws, vs):
+            acc += w * v
+        return _dev([acc % F.P]).reshape(16)
+    return _weighted_sum_jit(weights, values)
+
+
+@jax.jit
+def _weighted_sum_jit(weights: jax.Array, values: jax.Array) -> jax.Array:
     return V.sum_mod(V.mont_mul(weights, values))
 
 
@@ -395,13 +407,36 @@ def _pad_points(coords_m: jax.Array):
     return coords_m, V.sub_mod(one, coords_m), p_pad
 
 
+def _host_points(coords_m: jax.Array, m: int) -> list[list[int]]:
+    """(16, m, p) Montgomery device coords -> p host point lists."""
+    p = coords_m.shape[2]
+    flat = _host(coords_m.reshape(16, m * p))
+    return [[flat[k * p + j] for k in range(m)] for j in range(p)]
+
+
 def combine_eq_weights_dev(coords_m: jax.Array, coeffs_m: jax.Array,
                            m: int) -> jax.Array:
     """sum_i coeffs[i] * eq(coords_i, .) from DEVICE Montgomery inputs.
 
     coords_m (16, m, p), coeffs_m (16, p) -> (16, 2^m) Montgomery table.
-    Device-scalar twin of :func:`combine_eq_weights` (no host sync)."""
+    Device-scalar twin of :func:`combine_eq_weights` (no host sync unless
+    syncs are declared cheap — config.CHEAP_SYNC — and the table is tiny)."""
+    from .. import config
     p = coords_m.shape[2]
+    if (config.CHEAP_SYNC and (1 << m) <= HOST_TAIL and p <= 256
+            and not _is_traced(coords_m, coeffs_m)):
+        points = _host_points(coords_m, m)
+        cfs = _host(coeffs_m)
+        table = [0] * (1 << m)
+        for c, cf in zip(points, cfs):
+            e = [1]
+            for r in reversed(c):
+                omr = (1 - r) % F.P
+                e = ([x * omr % F.P for x in e]
+                     + [x * r % F.P for x in e])
+            for i, x in enumerate(e):
+                table[i] = (table[i] + cf * x) % F.P
+        return _dev(table)
     rs, omrs, p_pad = _pad_points(coords_m)
     if p_pad > p:
         coeffs_m = jnp.pad(coeffs_m, [(0, 0), (0, p_pad - p)])
@@ -411,8 +446,20 @@ def combine_eq_weights_dev(coords_m: jax.Array, coeffs_m: jax.Array,
 def eval_multilinear_batch_dev(evals: jax.Array,
                                coords_m: jax.Array) -> jax.Array:
     """MLE evaluations at device points: (16, m, p) -> (16, p) Montgomery."""
+    from .. import config
     m = coords_m.shape[1]
     p = coords_m.shape[2]
+    if (config.CHEAP_SYNC and evals.shape[1] <= HOST_TAIL and p <= 256
+            and not _is_traced(evals, coords_m)):
+        ev = _host(evals)
+        outs = []
+        for c in _host_points(coords_m, m):
+            v = ev
+            for r in c:  # MSB-first folds
+                h = len(v) // 2
+                v = [(v[i] + r * (v[i + h] - v[i])) % F.P for i in range(h)]
+            outs.append(v[0])
+        return _dev(outs)
     rs, omrs, p_pad = _pad_points(coords_m)
     one = V.broadcast_scalar(jnp.asarray(V.R_LIMBS), (p_pad, 1))
     return _eval_batch_dev(rs, omrs, one, evals, m)[:, :p]
@@ -457,7 +504,20 @@ def _eval_batch_dev(rs, omrs, start, evals, m: int):
 
 def eval_multilinear_batch(evals: jax.Array,
                            coords_list: list[list[int]]) -> list[int]:
-    """MLE evaluations at many points (single device dispatch)."""
+    """MLE evaluations at many points (single device dispatch).
+
+    The result is host ints (a sync happens either way); small concrete
+    tables fold on the host directly — one fetch, zero compiles."""
+    if evals.shape[1] <= HOST_TAIL and not _is_traced(evals):
+        ev = _host(evals)
+        outs = []
+        for c in coords_list:
+            v = ev
+            for r in c:  # MSB-first folds
+                h = len(v) // 2
+                v = [(v[i] + r * (v[i + h] - v[i])) % F.P for i in range(h)]
+            outs.append(v[0])
+        return outs
     m = len(coords_list[0])
     p = len(coords_list)
     rs, omrs, p_pad = _pack_point_batch(coords_list, m)

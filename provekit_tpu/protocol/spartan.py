@@ -274,26 +274,21 @@ def _spartan_rounds_mesh(transcript, abce, claim0, rho_m, g_arr,
     round's sums psum across the mesh.  Returns alphas (16, m_0) canonical.
     """
     import jax.numpy as jnp
-    from ..fs import device as D
     from ..ops import fused
 
-    half_c = V.pack_scalar(F.to_mont(HALF)).reshape(16, 1)
     claim = claim0
     prefix = V.zeros((1,))
     alphas = []
     for idx in range(m_0):
         f0, fm1, finf = sc.spartan_round_stacked(abce)
-        g = [g_arr[:, idx, k].reshape(16, 1) for k in range(4)]
-        cs = fused.spartan_round_coeffs(
-            f0.reshape(16, 1), fm1.reshape(16, 1), finf.reshape(16, 1),
-            claim, prefix, g, pms_a[:, idx:idx + 1], sms_a[:, idx:idx + 1],
-            sfx_a[:, idx:idx + 1], rho_m, half_c)
-        transcript.add_scalars_dev(D.from_mont(jnp.concatenate(cs, axis=1)))
-        alpha_c = transcript.challenge_scalars_dev(1)
+        (state2, cs_c, alpha_c, alpha_m, claim,
+         prefix) = fused.spartan_scalar_step(
+            transcript.state, f0.reshape(16, 1), fm1.reshape(16, 1),
+            finf.reshape(16, 1), claim, prefix, g_arr[:, idx],
+            pms_a[:, idx:idx + 1], sms_a[:, idx:idx + 1],
+            sfx_a[:, idx:idx + 1], rho_m)
+        transcript.replay_fused(state2, [cs_c], [("A", 4), ("S", 1)])
         alphas.append(alpha_c)
-        alpha_m = D.to_mont(alpha_c)
-        claim = fused._eval_poly_mont(cs, alpha_m)
-        prefix = V.add_mod(prefix, fused._eval_poly_mont(g, alpha_m))
         abce = sc.fold_stacked_msb(abce, alpha_m[:, 0])
     return jnp.concatenate(alphas, axis=1)
 

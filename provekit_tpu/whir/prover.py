@@ -79,41 +79,78 @@ def _scalars_of_block(block, rows: int, cols: int) -> list[list[int]]:
 
 
 def _multipath_builder(depth: int):
-    """merkle_proof hint: ark MultiPath<Digest> (see whir/hints.py)."""
+    """merkle_proof hint: ark MultiPath<Digest> (see whir/hints.py).
+
+    Serialized straight from the numpy limb block — scalars become 32-byte
+    LE slices of one vectorized ``astype('<u2').tobytes()`` blob instead of
+    per-element Python bigints (the bigint path cost seconds per prove at
+    reference query counts)."""
 
     def build(idx_sorted, path_block):
         import numpy as np
-        from .hints import serialize_multipath
+        from .hints import _vec_header
         q = len(idx_sorted)
         keep = np.ones(q, dtype=bool)
         keep[1:] = idx_sorted[1:] != idx_sorted[:-1]
         idx = [int(i) for i in idx_sorted[keep]]
         n = len(idx)
-        path = np.asarray(path_block).reshape(16, depth, q)[:, :, keep]
-        # path rows are bottom-up: row 0 = leaf sibling, rows 1.. internal
-        vals = _scalars_of_block(path.reshape(16, -1), depth, n)
-        siblings = vals[0] if depth else [0] * n
-        topdown = [[vals[d][j] for d in range(depth - 1, 0, -1)]
-                   for j in range(n)]
-        return serialize_multipath(idx, siblings, topdown)
+        pb = np.asarray(path_block).reshape(16, depth, q)[:, :, keep]
+        # node (d, j) -> blob[(d*n + j)*32 : ...]; row 0 = leaf sibling,
+        # rows 1.. internal bottom-up
+        blob = np.ascontiguousarray(
+            pb.transpose(1, 2, 0)).astype("<u2").tobytes()
+
+        out = bytearray()
+        out += _vec_header(n)
+        out += blob[:n * 32]                     # leaf siblings, j ascending
+
+        rows = list(range(depth - 1, 0, -1))     # top-down internal rows
+        shared = np.zeros(max(0, n - 1), dtype=np.int64)
+        if n > 1 and rows:
+            eq = (pb[:, :, 1:] == pb[:, :, :-1]).all(axis=0)  # (depth, n-1)
+            run = np.cumprod(eq[rows, :], axis=0)             # (len, n-1)
+            shared = run.sum(axis=0).astype(np.int64)         # per j>=1
+        out += _vec_header(n)
+        for j in range(n):
+            s = 0 if j == 0 else int(shared[j - 1])
+            out += s.to_bytes(8, "little")
+        out += _vec_header(n)
+        for j in range(n):
+            s = 0 if j == 0 else int(shared[j - 1])
+            sfx = rows[s:]
+            out += _vec_header(len(sfx))
+            for d in sfx:
+                off = (d * n + j) * 32
+                out += blob[off:off + 32]
+        out += _vec_header(n)
+        for i in idx:
+            out += i.to_bytes(8, "little")
+        return bytes(out)
 
     return build
 
 
 def _answers_builder(leaf_elems: int):
-    """stir_answers hint: ark Vec<Vec<Fp256>>."""
+    """stir_answers hint: ark Vec<Vec<Fp256>> (numpy-vectorized bytes)."""
 
     def build(idx_sorted, leaf_block):
         import numpy as np
-        from .hints import serialize_stir_answers
+        from .hints import _vec_header
         q = len(idx_sorted)
         keep = np.ones(q, dtype=bool)
         keep[1:] = idx_sorted[1:] != idx_sorted[:-1]
         leaf = np.asarray(leaf_block).reshape(16, q, leaf_elems)[:, keep, :]
         n = int(keep.sum())
-        vals = _scalars_of_block(
-            leaf.reshape(16, n * leaf_elems), n, leaf_elems)
-        return serialize_stir_answers(vals)
+        # scalar (j, i) -> blob[(j*leaf_elems + i)*32 : ...]
+        blob = np.ascontiguousarray(
+            leaf.transpose(1, 2, 0)).astype("<u2").tobytes()
+        row = leaf_elems * 32
+        hdr = _vec_header(leaf_elems)
+        out = bytearray(_vec_header(n))
+        for j in range(n):
+            out += hdr
+            out += blob[j * row:(j + 1) * row]
+        return bytes(out)
 
     return build
 
@@ -190,18 +227,22 @@ def _sumcheck_rounds_dev(transcript, fw: jax.Array, count: int):
 def _sumcheck_rounds_mesh(transcript, fw: jax.Array, count: int):
     """Per-round WHIR sumcheck: same messages/folds as the fused segment
     (exact limb arithmetic — transcripts are byte-identical), small graphs.
+
+    Each round is [per-shape round-sum kernel] -> [shape-constant scalar
+    step: messages + sponge advance, ONE compile for all rounds] ->
+    [per-shape fold], so only two executables recompile as sizes halve.
     """
     from ..ops import fused
+    assert transcript.absorb_pos == 0, "segment must start after a squeeze"
     alphas = []
     for _ in range(count):
         h0, h1, h2 = sc.whir_round_stacked(fw)
-        msgs = fused.whir_round_messages(
-            h0.reshape(16, 1), h1.reshape(16, 1), h2.reshape(16, 1))
-        transcript.add_scalars_dev(
-            D.from_mont(jnp.concatenate(msgs, axis=1)))
-        alpha_c = transcript.challenge_scalars_dev(1)
+        state2, msgs_c, alpha_c, alpha_m = fused.whir_scalar_step(
+            transcript.state, h0.reshape(16, 1), h1.reshape(16, 1),
+            h2.reshape(16, 1))
+        transcript.replay_fused(state2, [msgs_c], [("A", 3), ("S", 1)])
         alphas.append(alpha_c)
-        fw = sc.fold_stacked_lsb(fw, D.to_mont(alpha_c)[:, 0])
+        fw = sc.fold_stacked_lsb(fw, alpha_m[:, 0])
     return fw, jnp.concatenate(alphas, axis=1)
 
 

@@ -82,6 +82,31 @@ def test_proof_bytes_regression():
     scheme.verify(r1cs, proof)
 
 
+def test_proof_bytes_regression_cheap_sync():
+    """CHEAP_SYNC host tails (ntt/merkle/pow/eq demoted to host math) emit
+    the SAME pinned digest — the dryrun's compile-avoidance mode cannot
+    change a byte."""
+    from provekit_tpu import config
+    from provekit_tpu.ops import ntt as ntt_mod
+    from provekit_tpu.ops import sumcheck as sc_mod
+    from provekit_tpu.parallel import make_mesh
+    from tests.test_e2e import build_system
+    from tests.test_verifier_circuit import tiny_scheme
+    saved = (config.CHEAP_SYNC, sc_mod.HOST_TAIL, ntt_mod.HOST_TAIL)
+    config.CHEAP_SYNC = True
+    sc_mod.HOST_TAIL = max(sc_mod.HOST_TAIL, 1 << 16)
+    ntt_mod.HOST_TAIL = max(ntt_mod.HOST_TAIL, 1 << 16)
+    try:
+        r1cs, witness = build_system(seed=3, n_mults=1)
+        scheme = tiny_scheme(r1cs, security=3, folding=2, max_pow=2)
+        proof = scheme.prove(r1cs, witness, rng=random.Random(11),
+                             mesh=make_mesh(1))
+        assert hashlib.sha256(proof).hexdigest() == (
+            "026e768d6e23b696045f62152e82f26bbdbeb59042320af52109aff4c50bfb6c")
+    finally:
+        config.CHEAP_SYNC, sc_mod.HOST_TAIL, ntt_mod.HOST_TAIL = saved
+
+
 def test_proof_bytes_regression_mesh():
     """The per-round mesh prover path emits the SAME pinned digest.
 
