@@ -209,18 +209,22 @@ def whir_sumcheck_segment(fw: jax.Array, state: jax.Array, count: int):
     return fw, state, coeffs, alphas
 
 
-@functools.partial(jax.jit, static_argnums=(8,))
+@functools.partial(jax.jit, static_argnums=(9,))
 def spartan_sumcheck_fused(abce: jax.Array, state: jax.Array,
                            claim0: jax.Array, rho: jax.Array,
                            g_coeffs: jax.Array, pms: jax.Array,
-                           sms: jax.Array, suffix: jax.Array, m_0: int):
-    """All m_0 ZK-Spartan rounds in one dispatch.
+                           sms: jax.Array, suffix: jax.Array,
+                           prefix0: jax.Array, m_0: int):
+    """m_0 ZK-Spartan rounds in one dispatch.
 
     abce: (16, 4, 2^m_0) Montgomery [Az; Bz; Cz; eq] — MSB pairing.
     state: (16, 2) canonical sponge (right after the rho squeeze).
     claim0, rho: (16, 1) Montgomery.
     g_coeffs: (16, m_0, 4); pms/sms/suffix: (16, m_0) Montgomery (see
-    protocol.spartan for their definitions).
+    protocol.spartan for their definitions).  ``prefix0`` is the running
+    blinding-prefix sum entering the segment ((16,1) Montgomery; zeros when
+    the segment starts at round 0 — nonzero when leading rounds ran
+    unfused, see protocol.spartan's hybrid driver).
     Returns (state', coeffs (16, m_0, 4) canonical).
     """
     n = abce.shape[2]
@@ -276,7 +280,6 @@ def spartan_sumcheck_fused(abce: jax.Array, state: jax.Array,
 
     coeffs0 = jnp.zeros((16, m_0, 4), dtype=V.U32)
     alphas0 = jnp.zeros((16, m_0), dtype=V.U32)
-    prefix0 = V.zeros((1,))
     _, state, coeffs, alphas, _, _ = jax.lax.fori_loop(
         0, m_0, body, (abce, state, coeffs0, alphas0, claim0, prefix0))
     return state, coeffs, alphas

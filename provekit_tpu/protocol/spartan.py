@@ -243,18 +243,36 @@ def run_zk_sumcheck_prover(r1cs, z, transcript, m_0: int,
     sfx_a = V.pack([F.to_mont(s) for s in sfx])
     assert transcript.absorb_pos == 0
     if pctx.active_mesh() is not None:
-        # Per-round kernels: the fused segment's unrolled body is too
+        # Per-round kernels only: the fused segment's unrolled body is too
         # expensive for the GSPMD partitioner; small graphs + psum'd round
         # sums scale across the mesh (byte-identical messages).
-        alphas_c = _spartan_rounds_mesh(transcript, abce, claim0, rho_m,
-                                        g_arr, pms_a, sms_a, sfx_a, m_0)
+        lead = m_0
     else:
-        state2, coeffs_arr, alphas_c = fused.spartan_sumcheck_fused(
-            abce, transcript.state, claim0, rho_m, g_arr,
-            pms_a, sms_a, sfx_a, m_0)
+        # Hybrid: fused rounds run at FULL static length with masking
+        # (~m_0 * n/2 pair-ops); compact per-round kernels keep the leading
+        # big rounds geometric and the fused segment handles the tail.
+        from ..whir.prover import FUSE_MAX
+        lead = 0
+        while lead < m_0 and (abce.shape[2] >> lead) > FUSE_MAX:
+            lead += 1
+
+    claim, prefix = claim0, V.zeros((1,))
+    alpha_parts = []
+    if lead:
+        abce, claim, prefix, a_lead = _spartan_rounds_unfused(
+            transcript, abce, claim, prefix, rho_m, g_arr,
+            pms_a, sms_a, sfx_a, 0, lead)
+        alpha_parts.append(a_lead)
+    if lead < m_0:
+        state2, coeffs_arr, alphas_tail = fused.spartan_sumcheck_fused(
+            abce, transcript.state, claim, rho_m, g_arr[:, lead:],
+            pms_a[:, lead:], sms_a[:, lead:], sfx_a[:, lead:],
+            prefix, m_0 - lead)
         transcript.replay_fused(
-            state2, [coeffs_arr[:, i, :] for i in range(m_0)],
-            [("A", 4), ("S", 1)] * m_0)
+            state2, [coeffs_arr[:, i, :] for i in range(m_0 - lead)],
+            [("A", 4), ("S", 1)] * (m_0 - lead))
+        alpha_parts.append(alphas_tail)
+    alphas_c = jnp.concatenate(alpha_parts, axis=1)
     alphas_m = D.to_mont(alphas_c)
 
     stmt, f_sum, g_sum = _blinding_statement_dev(m_commit, alphas_m, com)
@@ -264,22 +282,21 @@ def run_zk_sumcheck_prover(r1cs, z, transcript, m_0: int,
     return SpartanProverOutput(r=r_m, alpha=alphas_m)
 
 
-def _spartan_rounds_mesh(transcript, abce, claim0, rho_m, g_arr,
-                         pms_a, sms_a, sfx_a, m_0: int):
-    """Per-round ZK-Spartan sumcheck for the mesh path.
+def _spartan_rounds_unfused(transcript, abce, claim, prefix, rho_m, g_arr,
+                            pms_a, sms_a, sfx_a, start: int, count: int):
+    """``count`` compact per-round ZK-Spartan rounds starting at ``start``.
 
     Computes exactly the messages of ``fused.spartan_sumcheck_fused`` (same
     limb arithmetic — byte-identical transcript), one small round kernel +
-    device sponge ops at a time, so the SPMD compiles stay cheap and each
-    round's sums psum across the mesh.  Returns alphas (16, m_0) canonical.
+    shape-constant scalar step at a time.  Arrays halve each round
+    (geometric total work); under a mesh the round sums psum across it.
+    Returns (abce, claim, prefix, alphas (16, count) canonical).
     """
     import jax.numpy as jnp
     from ..ops import fused
 
-    claim = claim0
-    prefix = V.zeros((1,))
     alphas = []
-    for idx in range(m_0):
+    for idx in range(start, start + count):
         f0, fm1, finf = sc.spartan_round_stacked(abce)
         (state2, cs_c, alpha_c, alpha_m, claim,
          prefix) = fused.spartan_scalar_step(
@@ -290,7 +307,7 @@ def _spartan_rounds_mesh(transcript, abce, claim0, rho_m, g_arr,
         transcript.replay_fused(state2, [cs_c], [("A", 4), ("S", 1)])
         alphas.append(alpha_c)
         abce = sc.fold_stacked_msb(abce, alpha_m[:, 0])
-    return jnp.concatenate(alphas, axis=1)
+    return abce, claim, prefix, jnp.concatenate(alphas, axis=1)
 
 
 @dataclass

@@ -19,6 +19,8 @@ bit-exactly.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -213,15 +215,39 @@ def _sumcheck_rounds_dev(transcript, fw: jax.Array, count: int):
     from ..parallel import context as pctx
     if pctx.active_mesh() is not None:
         return _sumcheck_rounds_mesh(transcript, fw, count)
-    from ..ops import fused
-    assert transcript.absorb_pos == 0, "segment must start after a squeeze"
-    n_in = fw.shape[2]
-    fw_full, state2, coeffs_arr, alphas = fused.whir_sumcheck_segment(
-        fw, transcript.state, count)
-    chunks = [coeffs_arr[:, i, :] for i in range(count)]
-    transcript.replay_fused(state2, chunks,
-                            [("A", 3), ("S", 1)] * count)
-    return fw_full[:, :, :n_in >> count], alphas
+
+    # Hybrid: the fused segment keeps arrays at FULL static length with
+    # masking, so k fused rounds over n elements cost ~k*n/2 pair-ops vs the
+    # compact geometric ~n.  Run leading rounds compactly (per-round kernels,
+    # async-dispatched — the device sponge means no host sync), and fuse
+    # only the small tail where dispatch overhead would dominate.
+    lead = 0
+    while lead < count and (fw.shape[2] >> lead) > FUSE_MAX:
+        lead += 1
+    alphas_parts = []
+    if lead:
+        fw, a_lead = _sumcheck_rounds_mesh(transcript, fw, lead)
+        alphas_parts.append(a_lead)
+        count -= lead
+    if count:
+        from ..ops import fused
+        assert transcript.absorb_pos == 0, \
+            "segment must start after a squeeze"
+        n_in = fw.shape[2]
+        fw_full, state2, coeffs_arr, alphas = fused.whir_sumcheck_segment(
+            fw, transcript.state, count)
+        chunks = [coeffs_arr[:, i, :] for i in range(count)]
+        transcript.replay_fused(state2, chunks,
+                                [("A", 3), ("S", 1)] * count)
+        fw = fw_full[:, :, :n_in >> count]
+        alphas_parts.append(alphas)
+    return fw, jnp.concatenate(alphas_parts, axis=1)
+
+
+# Fused-segment threshold: rounds at sizes above this run compactly
+# per-round (geometric work); at or below it the remaining rounds run in
+# one fused dispatch (latency-optimal for the tail).
+FUSE_MAX = int(os.environ.get("PROVEKIT_TPU_FUSE_MAX", str(1 << 14)))
 
 
 def _sumcheck_rounds_mesh(transcript, fw: jax.Array, count: int):

@@ -82,6 +82,27 @@ def test_proof_bytes_regression():
     scheme.verify(r1cs, proof)
 
 
+def test_proof_bytes_regression_hybrid():
+    """Compact-leading-rounds + fused-tail sumcheck emits the SAME digest.
+
+    Forcing FUSE_MAX tiny makes every round of this small scheme run
+    through the per-round compact path with a minimal fused tail — the
+    production hybrid split at large m must not change a byte."""
+    from provekit_tpu.whir import prover as prover_mod
+    from tests.test_e2e import build_system
+    from tests.test_verifier_circuit import tiny_scheme
+    saved = prover_mod.FUSE_MAX
+    prover_mod.FUSE_MAX = 4
+    try:
+        r1cs, witness = build_system(seed=3, n_mults=1)
+        scheme = tiny_scheme(r1cs, security=3, folding=2, max_pow=2)
+        proof = scheme.prove(r1cs, witness, rng=random.Random(11))
+        assert hashlib.sha256(proof).hexdigest() == (
+            "026e768d6e23b696045f62152e82f26bbdbeb59042320af52109aff4c50bfb6c")
+    finally:
+        prover_mod.FUSE_MAX = saved
+
+
 def test_proof_bytes_regression_cheap_sync():
     """CHEAP_SYNC host tails (ntt/merkle/pow/eq demoted to host math) emit
     the SAME pinned digest — the dryrun's compile-avoidance mode cannot
