@@ -18,15 +18,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(name, fn, iters=10):
-    out = fn()
-    jax.block_until_ready(out)
+def _force(out):
+    """Fetch one scalar of the output — under the tunneled axon platform
+    ``block_until_ready`` can return before execution completes, so a
+    device_get is the only reliable completion barrier."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(jax.device_get(leaf)).ravel()[0]
+
+
+def timeit(name, fn, iters=30):
+    _force(fn())  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(iters - 1):
         out = fn()
-    jax.block_until_ready(out)
+    out = fn()
+    _force(out)  # executions are in-order: one barrier drains all iters
     ms = (time.perf_counter() - t0) / iters * 1e3
-    print(f"{name:<36} {ms:9.2f} ms")
+    print(f"{name:<36} {ms:9.3f} ms")
     return ms
 
 
