@@ -26,8 +26,6 @@ try:
 
     def _decompress(data: bytes) -> bytes:
         return _zstd.ZstdDecompressor().decompress(data)
-
-    _COMPRESSION = b"Z"
 except ImportError:  # pragma: no cover
     def _compress(data: bytes) -> bytes:
         return zlib.compress(data, 6)
@@ -35,10 +33,15 @@ except ImportError:  # pragma: no cover
     def _decompress(data: bytes) -> bytes:
         return zlib.decompress(data)
 
-    _COMPRESSION = b"D"
-
-MAGIC = b"PKTPU\x00"
+# Reference header framing (file/bin.rs:17-38): 8-byte MAGIC, 8-byte ASCII
+# format tag, u16le major, u16le minor — 20 bytes total, then the
+# zstd-compressed body.  MAGIC matches the reference byte-for-byte; the
+# body encoding is the in-tree postcard-discipline binary (binenc.py), so
+# major=1 marks the provekit-tpu body revision (reference postcard bodies
+# are major=0; see docs/PARITY.md "byte-compatibility boundary").
+MAGIC = b"\xDC\xDFOZkp\x01\x00"
 VERSION = (1, 0)
+_LEGACY_MAGIC = b"PKTPU\x00"  # pre-round-4 artifacts (10-byte header)
 
 from ..acir import abi as acir_abi
 from ..acir import brillig
@@ -213,7 +216,15 @@ def proof_from_doc(doc: dict) -> NoirProof:
     return NoirProof(transcript=t)
 
 
-_FORMAT_TAGS = {"NrProScm": b"\x01", "NPSProof": b"\x02"}
+_FORMAT_TAGS = {"NrProScm": b"NrProScm", "NPSProof": b"NPSProof"}
+_LEGACY_TAGS = {b"\x01": "NrProScm", b"\x02": "NPSProof"}
+
+
+def _decompress_body(blob: bytes) -> bytes:
+    """Sniff the compressor from the frame magic (zstd vs zlib fallback)."""
+    if blob[:4] == b"\x28\xb5\x2f\xfd":
+        return _decompress(blob)
+    return zlib.decompress(blob)
 
 
 def write(path, obj) -> None:
@@ -230,8 +241,9 @@ def write(path, obj) -> None:
         return
     from . import binenc
     body = binenc.encode(doc)
-    header = (MAGIC + _FORMAT_TAGS[doc["format"]] + _COMPRESSION
-              + bytes([VERSION[0], VERSION[1]]))
+    header = (MAGIC + _FORMAT_TAGS[doc["format"]]
+              + VERSION[0].to_bytes(2, "little")
+              + VERSION[1].to_bytes(2, "little"))
     path.write_bytes(header + _compress(body))
 
 
@@ -241,15 +253,29 @@ def read(path):
         doc = json.loads(path.read_text())
     else:
         blob = path.read_bytes()
-        if blob[:6] != MAGIC:
-            raise ValueError("bad magic: not a provekit-tpu artifact")
-        comp = blob[7:8]
-        major, minor = blob[8], blob[9]
-        if major != VERSION[0] or minor > VERSION[1]:
-            raise ValueError(f"unsupported artifact version {major}.{minor}")
-        body = (_decompress(blob[10:]) if comp == b"Z" and _COMPRESSION == b"Z"
-                else zlib.decompress(blob[10:]) if comp == b"D"
-                else _decompress(blob[10:]))
+        if blob[:8] == MAGIC:
+            fmt = blob[8:16].decode("ascii", "replace")
+            major = int.from_bytes(blob[16:18], "little")
+            minor = int.from_bytes(blob[18:20], "little")
+            # reference gate (file/bin.rs:92-99): major must match, the
+            # file's minor must be >= ours (files carry forward)
+            if major != VERSION[0] or minor < VERSION[1]:
+                raise ValueError(
+                    f"unsupported artifact version {major}.{minor}")
+            if fmt not in _FORMAT_TAGS:
+                raise ValueError(f"unknown format tag {fmt!r}")
+            body = _decompress_body(blob[20:])
+        elif blob[:6] == _LEGACY_MAGIC:  # pre-round-4 10-byte header
+            fmt = _LEGACY_TAGS.get(blob[6:7])
+            if fmt is None:
+                raise ValueError("unknown legacy format tag")
+            major, minor = blob[8], blob[9]
+            if major > 1:
+                raise ValueError(
+                    f"unsupported artifact version {major}.{minor}")
+            body = _decompress_body(blob[10:])
+        else:
+            raise ValueError("bad magic: not a provekit artifact")
         if body[:4] == b"PKB1":
             from . import binenc
             doc = binenc.decode(body)

@@ -141,16 +141,26 @@ def test_bad_magic_and_version(tmp_path):
     path = tmp_path / "x.np"
     files.write(path, NoirProof(transcript=b"abc"))
     blob = bytearray(path.read_bytes())
+    # reference 20-byte header: MAGIC(8) | format(8) | major u16le | minor
+    # u16le (file/bin.rs:17-38)
+    assert bytes(blob[:8]) == b"\xDC\xDFOZkp\x01\x00"
+    assert bytes(blob[8:16]) == b"NPSProof"
     bad = tmp_path / "bad.np"
-    bad.write_bytes(b"XXXXXX" + bytes(blob[6:]))
+    bad.write_bytes(b"XXXXXXXX" + bytes(blob[8:]))
     with pytest.raises(ValueError, match="magic"):
         files.read(bad)
     blob2 = bytearray(path.read_bytes())
-    blob2[8] = 9  # future major version
+    blob2[16] = 9  # wrong major version
     bad2 = tmp_path / "bad2.np"
     bad2.write_bytes(bytes(blob2))
     with pytest.raises(ValueError, match="version"):
         files.read(bad2)
+    blob3 = bytearray(path.read_bytes())
+    blob3[12] ^= 0xFF  # corrupt the format tag
+    bad3 = tmp_path / "bad3.np"
+    bad3.write_bytes(bytes(blob3))
+    with pytest.raises(ValueError, match="format"):
+        files.read(bad3)
 
 
 def test_gnark_export(tmp_path):

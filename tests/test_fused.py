@@ -27,11 +27,14 @@ def test_whir_segment_matches_per_round(monkeypatch):
     for _ in range(count):
         ds.absorb(3, "c").squeeze(1, "a")
 
-    # reference: per-round host transcript
+    # reference: per-round host transcript.  The wire basis is EVALUATIONS
+    # [h(0), h(1), h(2)] (gnark whir_utilities.go:102-126), so the raw
+    # quadratic sums from whir_round_stacked go through whir_round_messages
+    # exactly as the fused segment and the per-round mesh driver do.
     tr1 = ds.to_prover_state()
     fw1, alphas1, coeffs1 = fw, [], []
     for _ in range(count):
-        h = sc.whir_round_stacked(fw1)
+        h = fused.whir_round_messages(*sc.whir_round_stacked(fw1))
         cs = [F.from_mont(V.unpack_scalar(x)) for x in h]
         coeffs1.append(cs)
         tr1.add_scalars(cs)

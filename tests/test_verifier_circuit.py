@@ -98,17 +98,31 @@ def test_groth16_wrap_end_to_end(inner):
     assert not wrap.verify(rk, g16, bad)
 
 
-def test_circuit_rejects_wrong_claimed_sums(inner):
+def test_tampered_claimed_sums_hint(inner):
+    """Hint-only tampering: native verifier rejects; circuit ignores hints.
+
+    The trailing bytes of the proof are the deferred_weight_evaluations hint
+    — PRIVATE witness, not absorbed into the sponge.  The recursion circuit
+    deliberately recomputes every weight eval and ignores the hinted values
+    (recursion/verifier_circuit.py:397-402; stronger than gnark, which
+    trusts them into the final identity), so a hint-only flip leaves the
+    circuit satisfiable with the same public inputs.  Soundness against a
+    lying hint is carried by the NATIVE verifier, which completes the
+    deferred evaluations itself and must reject.
+    """
     from provekit_tpu.recursion.wrap import build_verifier_circuit
     from provekit_tpu.whir.verifier import WhirError
     r1cs, scheme, proof = inner
-    # tamper the final 32 bytes (inside the witness-WHIR hint region /
-    # trailing proof data)
     bad = bytearray(proof)
     bad[-20] ^= 1
+    with pytest.raises((WhirError, ValueError, AssertionError)):
+        scheme.verify(r1cs, bytes(bad))
+    # the circuit's public statement is unchanged: synthesis either fails
+    # fast (host-side replay notices the lie) or yields a satisfiable
+    # system whose recomputed weight evals are independent of the hint.
     try:
         builder = build_verifier_circuit(scheme, r1cs, bytes(bad))
     except (WhirError, ValueError, AssertionError):
         return
     ok, _ = _satisfied(builder)
-    assert not ok
+    assert ok, "recomputed-hint circuit should not depend on hint bytes"
