@@ -98,20 +98,33 @@ def cmd_verify(args):
 
 
 def cmd_circuit_stats(args):
-    from .acir import model as acir
+    """Static analyzer (reference circuit_stats.rs:63-664): blackbox variant
+    histograms, AND/XOR bit widths + input classes, RANGE bits, memory-op
+    ordering, projected R1CS — plus (with --compile) the ACTUAL compiled
+    R1CS sizes, which the reference's projection-only analyzer lacks."""
+    from collections import Counter
+    from .compiler import circuit_stats as cs
     program, _abi = _load_circuit_program(args.circuit)
     circuit = program.functions[0]
-    from collections import Counter
     kinds = Counter(type(op).__name__ for op in circuit.opcodes)
     print(f"opcodes: {sum(kinds.values())}")
     for k, v in sorted(kinds.items()):
         print(f"  {k:<24} {v}")
-    print(f"public inputs: {len(circuit.public_inputs())}")
-    from .compiler import NoirProofScheme
-    scheme = NoirProofScheme.from_program(program)
-    r = scheme.r1cs
-    print(f"projected R1CS: {r.num_constraints} constraints, "
-          f"{r.num_witnesses} witnesses, nnz={r.a.nnz + r.b.nnz + r.c.nnz}")
+    stats = cs.analyze(circuit)
+    print(cs.report(stats))
+    if args.json:
+        stats_doc = {k: ({str(kk): vv for kk, vv in v.items()}
+                         if isinstance(v, dict) else v)
+                     for k, v in stats.items()}
+        Path(args.json).write_text(json.dumps(stats_doc, indent=1))
+        print(f"wrote {args.json}")
+    if args.compile:
+        from .compiler import NoirProofScheme
+        scheme = NoirProofScheme.from_program(program)
+        r = scheme.r1cs
+        print(f"compiled R1CS: {r.num_constraints} constraints, "
+              f"{r.num_witnesses} witnesses, "
+              f"nnz={r.a.nnz + r.b.nnz + r.c.nnz}")
 
 
 def cmd_generate_gnark_inputs(args):
@@ -188,6 +201,9 @@ def main(argv=None):
 
     sp = sub.add_parser("circuit-stats", help="analyze a circuit artifact")
     sp.add_argument("circuit")
+    sp.add_argument("--json", help="also write the stats as JSON")
+    sp.add_argument("--compile", action="store_true",
+                    help="additionally compile and print actual R1CS sizes")
     sp.set_defaults(fn=cmd_circuit_stats)
 
     sp = sub.add_parser("generate-gnark-inputs",
