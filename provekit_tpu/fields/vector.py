@@ -333,9 +333,53 @@ def mont_mul_core(a: jax.Array, b: jax.Array, p_arr: jax.Array,
 
 
 @jax.jit
-def mont_mul(a: jax.Array, b: jax.Array) -> jax.Array:
+def _mont_mul_xla(a: jax.Array, b: jax.Array) -> jax.Array:
     return mont_mul_core(a, b, jnp.asarray(P_LIMBS),
                          jnp.asarray(NPRIME256_LIMBS))
+
+
+# Minimum flattened batch for the Pallas fast path.  Measured on TPU v5e at
+# 2^18: Pallas mont_mul ~220 M/s vs ~24 M/s for the XLA lowering (the
+# concat-based digit shifts in _conv_cols defeat XLA fusion and round-trip
+# ~100 column temporaries through HBM; the Pallas kernel keeps one
+# (16, tile) tile VMEM-resident end to end) — scripts/speed_of_light.py.
+PALLAS_MIN_BATCH = 4096
+
+
+def _pallas_batch(a: jax.Array) -> int:
+    """Flattened batch size if the Pallas kernels apply to this array, else 0.
+
+    Conditions: (16, ...) limb array, batch >= PALLAS_MIN_BATCH and
+    tile-divisible, Pallas enabled (TPU), and no active mesh (Pallas calls
+    are not SPMD-partitionable by GSPMD)."""
+    if a.ndim < 2:
+        return 0
+    n = 1
+    for d in a.shape[1:]:
+        n *= d
+    if n < PALLAS_MIN_BATCH or n % 512:
+        return 0
+    from ..ops import pallas_kernels as PK
+    if not PK._pallas_enabled():
+        return 0
+    from ..parallel import context as pctx
+    if pctx.active_mesh() is not None:
+        return 0
+    return n
+
+
+def mont_mul(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Montgomery product; large batches take the Pallas VMEM kernel.
+
+    Safe inside jit traces (pallas_call nests under jit); Pallas-kernel
+    internals use ``mont_mul_core`` directly and never re-enter here.
+    """
+    n = _pallas_batch(a)
+    if n and a.shape == b.shape:
+        from ..ops import pallas_kernels as PK
+        out = PK.mont_mul_pallas(a.reshape(NLIMBS, n), b.reshape(NLIMBS, n))
+        return out.reshape(a.shape)
+    return _mont_mul_xla(a, b)
 
 
 def mont_sqr(a: jax.Array) -> jax.Array:

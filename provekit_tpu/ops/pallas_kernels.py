@@ -53,7 +53,8 @@ def _mont_mul_kernel(consts_ref, a_ref, b_ref, out_ref):
 @functools.partial(jax.jit, static_argnums=())
 def mont_mul_pallas(a: jax.Array, b: jax.Array) -> jax.Array:
     n = a.shape[1]
-    tile = min(TILE, n)
+    # 1024 measured best on v5e (224 M/s vs 221 at 512, 187 at 4096)
+    tile = min(2 * TILE, n)
     assert n % tile == 0
     import numpy as _np
     consts = jnp.asarray(_np.stack([V.P_LIMBS, V.NPRIME256_LIMBS]))

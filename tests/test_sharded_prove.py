@@ -5,41 +5,59 @@
 replacement for the reference's rayon tree (SURVEY.md §2.10).  All limb
 arithmetic is exact uint32 math, so the sharded transcript must equal the
 single-device transcript bit for bit.
+
+Each prove runs in its OWN subprocess (``tests/_sharded_prove_child.py``):
+two proves with different mesh sizes in one process deterministically
+segfault the XLA:CPU compiler on jaxlib 0.9.0 (crash requires the first
+prove's in-process state; reproduced at `combine_eq_weights_dev` /
+`powers` compiles, with and without the persistent compilation cache).
+Subprocess isolation keeps the suite green AND keeps the real sharded
+path under test; the byte comparison happens in the parent.
 """
 
-import random
+import os
+import subprocess
+import sys
 
-import jax
 import pytest
 
-from provekit_tpu.parallel import make_mesh
-from tests.test_e2e import build_system
-from tests.test_verifier_circuit import tiny_scheme
+
+def _child_prove(mesh_size: int, n_mults: int, out_path, extra_env=None,
+                 timeout=1800) -> bytes:
+    env = dict(os.environ)
+    env.pop("PROVEKIT_TPU_CHEAP_SYNC", None)
+    if extra_env:
+        env.update(extra_env)
+    subprocess.run(
+        [sys.executable, "-m", "tests._sharded_prove_child",
+         str(mesh_size), str(n_mults), str(out_path)],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, check=True, timeout=timeout)
+    return out_path.read_bytes()
 
 
-def _prove_pair(n_devices: int, n_mults: int = 24):
-    r1cs, witness = build_system(seed=5, n_mults=n_mults)
-    scheme = tiny_scheme(r1cs, security=10, folding=2, max_pow=2)
-    # 1-device mesh baseline: both proves use the per-round kernels (the
-    # fused-segment kernels cost minutes per shape under the SPMD
-    # partitioner on this 2-vCPU host; fused==per-round bit-equality is
-    # pinned separately by test_device_fs::test_proof_bytes_regression_mesh).
-    base = scheme.prove(r1cs, witness, rng=random.Random(3),
-                        mesh=make_mesh(1))
-    mesh = make_mesh(n_devices)
-    sharded = scheme.prove(r1cs, witness, rng=random.Random(3), mesh=mesh)
-    return scheme, r1cs, base, sharded
-
-
-def test_sharded_prove_bit_exact_2dev():
-    scheme, r1cs, base, sharded = _prove_pair(2)
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_prove_bit_exact(tmp_path, n_devices):
+    base = _child_prove(1, 24, tmp_path / "base.np")
+    sharded = _child_prove(n_devices, 24, tmp_path / f"m{n_devices}.np")
     assert sharded == base
-    scheme.verify(r1cs, sharded)
 
 
-def test_sharded_prove_bit_exact_8dev():
-    if len(jax.devices()) < 8:
-        pytest.skip("needs 8 virtual devices")
-    scheme, r1cs, base, sharded = _prove_pair(8)
+@pytest.mark.slow
+def test_sharded_prove_device_kernels_m14(tmp_path):
+    """Mesh bit-identity at m >= 14 with host tails DISABLED.
+
+    With PROVEKIT_TPU_HOST_TAIL=0 every sumcheck/NTT/eq kernel takes its
+    device path at every size, so the bytes compared here come from the
+    SPMD-partitioned device kernels themselves, not host-int fallbacks
+    (round-3 verdict item 3b).  FUSE_MAX=0 keeps every round on the
+    per-round kernels, the path the mesh actually uses.
+    """
+    force_device = {"PROVEKIT_TPU_HOST_TAIL": "0",
+                    "PROVEKIT_TPU_FUSE_MAX": "0"}
+    n_mults = 4100  # ~8.2k witnesses -> m = 14
+    base = _child_prove(1, n_mults, tmp_path / "base.np",
+                        extra_env=force_device, timeout=3600)
+    sharded = _child_prove(8, n_mults, tmp_path / "m8.np",
+                           extra_env=force_device, timeout=3600)
     assert sharded == base
-    scheme.verify(r1cs, sharded)
