@@ -265,6 +265,35 @@ def _whir_round_stacked_dev(fw: jax.Array):
     return _whir_round_dev(fw[:, 0], fw[:, 1])
 
 
+@jax.jit
+def whir_round_split_dev(fw: jax.Array):
+    """One WHIR round with the even/odd deinterleave done ONCE.
+
+    fw (16, 2, n) -> (ev (16,2,n/2), d (16,2,n/2), h0, h1, h2).  The
+    stride-2 lane slices are the expensive part of an LSB round on TPU
+    (sub-lane relayouts); sharing them between the round sums and the fold
+    (``fold_from_split_dev``: ev + alpha*d, all contiguous) halves the
+    strided passes vs whir_round_stacked + fold_stacked_lsb.  Limb ops are
+    identical — transcripts stay byte-exact.
+    """
+    ev, od = fw[:, :, 0::2], fw[:, :, 1::2]
+    d = V.sub_mod(od, ev)
+    f0, w0 = ev[:, 0], ev[:, 1]
+    df, dw = d[:, 0], d[:, 1]
+    h0 = V.sum_mod(V.mont_mul(f0, w0))
+    h1 = V.sum_mod(V.add_mod(V.mont_mul(f0, dw), V.mont_mul(w0, df)))
+    h2 = V.sum_mod(V.mont_mul(df, dw))
+    return ev, d, h0, h1, h2
+
+
+@jax.jit
+def fold_from_split_dev(ev: jax.Array, d: jax.Array,
+                        alpha: jax.Array) -> jax.Array:
+    """(16,2,h) halves from whir_round_split_dev -> folded (16,2,h)."""
+    ab = jnp.broadcast_to(alpha[:, None, None], ev.shape)
+    return V.add_mod(ev, V.mont_mul(ab, d))
+
+
 def whir_round_stacked(fw: jax.Array):
     """whir_round on a stacked (16, 2, n) [f;w] array (1 dispatch)."""
     n = fw.shape[2]

@@ -262,13 +262,22 @@ def _sumcheck_rounds_mesh(transcript, fw: jax.Array, count: int):
     assert transcript.absorb_pos == 0, "segment must start after a squeeze"
     alphas = []
     for _ in range(count):
-        h0, h1, h2 = sc.whir_round_stacked(fw)
+        split = (fw.shape[2] > sc.HOST_TAIL
+                 or isinstance(fw, jax.core.Tracer))
+        if split:
+            # deinterleave once, fold contiguous (same limb ops bit-exact)
+            ev, d, h0, h1, h2 = sc.whir_round_split_dev(fw)
+        else:
+            h0, h1, h2 = sc.whir_round_stacked(fw)
         state2, msgs_c, alpha_c, alpha_m = fused.whir_scalar_step(
             transcript.state, h0.reshape(16, 1), h1.reshape(16, 1),
             h2.reshape(16, 1))
         transcript.replay_fused(state2, [msgs_c], [("A", 3), ("S", 1)])
         alphas.append(alpha_c)
-        fw = sc.fold_stacked_lsb(fw, alpha_m[:, 0])
+        if split:
+            fw = sc.fold_from_split_dev(ev, d, alpha_m[:, 0])
+        else:
+            fw = sc.fold_stacked_lsb(fw, alpha_m[:, 0])
     return fw, jnp.concatenate(alphas, axis=1)
 
 
