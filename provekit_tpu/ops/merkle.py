@@ -153,24 +153,76 @@ def commit_dev(leaves: jax.Array) -> MerkleTree:
     async dispatches, which beats a ~30 ms transfer round trip per tree on
     tunneled devices.
 
-    Under an active mesh the leaves are gathered and the tree is built
-    replicated: the per-level compress graphs are large fully-unrolled
-    256-bit programs whose GSPMD partitioning costs minutes of compile time
-    for second-long kernels (a sharded shard_map subtree build is the
-    planned follow-up).
+    Under an active mesh with enough leaves per shard, each shard hashes
+    its contiguous leaf block into a subtree with ``shard_map`` and only
+    the per-shard roots are all-gathered — the leaf matrices (the
+    largest-memory arrays of a prove) are never materialized per device.
+    Tiny mesh trees fall back to a replicated build.
     """
     from .. import config
     if (config.CHEAP_SYNC and leaves.shape[2] <= DEVICE_LEVEL_MIN
             and not isinstance(leaves, jax.core.Tracer)):
         return commit(leaves)  # host build (native C++), device-array levels
     from ..parallel import context as pctx
-    leaves = pctx.replicate(leaves)
+    mesh = pctx.active_mesh()
+    if mesh is not None:
+        s = int(mesh.devices.size)
+        if s > 1 and leaves.shape[2] % s == 0 and leaves.shape[2] // s >= 2:
+            return _commit_sharded(mesh, leaves)
+        leaves = pctx.replicate(leaves)
     from . import pallas_kernels as PK
     digests = hash_leaves(leaves)
     levels = [digests]
     while levels[-1].shape[1] > 1:
         cur = levels[-1]
         levels.append(PK.compress_dispatch(cur[:, 0::2], cur[:, 1::2]))
+    return MerkleTree(levels)
+
+
+def _commit_sharded(mesh, leaves: jax.Array) -> MerkleTree:
+    """Per-shard subtree build + all_gather of the S per-shard roots.
+
+    Leaves are sharded in contiguous blocks over the mesh's single axis, so
+    global node j of level l lives on shard ``j // (per_shard / 2^l)`` —
+    exactly a last-axis NamedSharding of the global level array, which is
+    what ``shard_map`` emits.  Levels at and above the per-shard roots are
+    replicated (log2(S) tiny arrays).  Same compress math as the replicated
+    build — roots are bit-identical.
+    """
+    import functools
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..hash import skyscraper as S_
+    from ..parallel.mesh import shard_map
+
+    s = int(mesh.devices.size)
+    leaf_size = leaves.shape[1]
+    n = leaves.shape[2]
+    per = n // s
+    local_levels = per.bit_length() - 1  # levels 0..local_levels-1 sharded
+    x = jax.device_put(leaves.reshape(16, leaf_size, s, per),
+                       NamedSharding(mesh, P(None, None, "shards", None)))
+
+    out_specs = tuple(P(None, "shards") for _ in range(local_levels)) \
+        + (P(None, None),)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(None, None, "shards", None),),
+                       out_specs=out_specs)
+    def run(lv):
+        local = lv.reshape(16, leaf_size, per)
+        h = _hash_leaves_jit(local, False) if leaf_size > 1 else local[:, 0]
+        outs = [h]
+        while outs[-1].shape[1] > 1:
+            cur = outs[-1]
+            outs.append(S_.compress_v(cur[:, 0::2], cur[:, 1::2]))
+        tops = jax.lax.all_gather(outs[-1][:, 0], "shards", axis=1)  # (16, S)
+        return tuple(outs[:-1]) + (tops,)
+
+    *sharded, tops = run(x)
+    levels = list(sharded) + [tops]
+    while levels[-1].shape[1] > 1:
+        cur = levels[-1]
+        levels.append(S_.compress_v(cur[:, 0::2], cur[:, 1::2]))
     return MerkleTree(levels)
 
 

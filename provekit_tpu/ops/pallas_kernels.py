@@ -32,6 +32,10 @@ TILE = 512
 
 
 def _pallas_enabled() -> bool:
+    # pallas_call is not GSPMD-partitionable: XLA fallback under a mesh
+    from ..parallel import context as pctx
+    if pctx.active_mesh() is not None:
+        return False
     env = os.environ.get("PROVEKIT_TPU_PALLAS")
     if env is not None:
         return env not in ("0", "false", "")

@@ -99,3 +99,35 @@ def test_merkle_root_sharded(mesh):
     shard_view = leaves.reshape(16, leaf, s, n // s)
     got = pp.merkle_root_sharded(mesh, shard_view)
     assert V.unpack_scalar(got) == want
+
+
+def _commit_sharded_case(mesh, log_n: int, leaf: int, seed: int):
+    """commit_dev under a mesh must equal the replicated build: root, level
+    shapes, and opened auth paths (the prover gathers paths from the
+    sharded levels)."""
+    from provekit_tpu.parallel import context as pctx
+    rng = random.Random(seed)
+    n = 1 << log_n
+    vals = [rng.randrange(F.P) for _ in range(leaf * n)]
+    leaves = V.pack(vals).reshape(16, leaf, n)
+    want_tree = merkle.commit_dev(leaves)
+    with pctx.use_mesh(mesh):
+        got_tree = merkle.commit_dev(leaves)
+    assert got_tree.root() == want_tree.root()
+    assert [lv.shape for lv in got_tree.levels] == \
+        [lv.shape for lv in want_tree.levels]
+    idx = jnp.asarray(sorted(rng.sample(range(n), 4)), dtype=jnp.uint32)
+    want_paths = V.unpack(merkle.open_gather_dev(want_tree, idx))
+    with pctx.use_mesh(mesh):
+        got_paths = V.unpack(merkle.open_gather_dev(got_tree, idx))
+    assert got_paths == want_paths
+
+
+def test_commit_dev_sharded_subtrees(mesh):
+    _commit_sharded_case(mesh, log_n=9, leaf=4, seed=6)
+
+
+@pytest.mark.slow
+def test_commit_dev_sharded_subtrees_64k(mesh):
+    # device-engaging size (round-3 verdict item 9): 2^16 leaves
+    _commit_sharded_case(mesh, log_n=16, leaf=2, seed=7)
