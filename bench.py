@@ -102,6 +102,7 @@ def main():
         "num_constraints": r1cs.num_constraints,
         "num_witnesses": r1cs.num_witnesses,
         "proof_bytes": len(proof),
+        "proof_bytes_budget": scheme.whir_for_witness.proof_size_budget(),
         "security_level": security,
         "platform": jax.devices()[0].platform,
     }))

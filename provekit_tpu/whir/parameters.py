@@ -190,6 +190,54 @@ class WhirConfig:
 
     # -- helpers -----------------------------------------------------------
 
+    def opening_budgets(self) -> list[tuple[int, int, int]]:
+        """Per-opening (queries, tree_depth, leaf_elems) in prover order.
+
+        Mirrors the oracle geometry of ``whir.prover.prove``: opening r
+        reads the round-(r-1) tree (the initial commitment for r=0, with
+        batch_size polys per leaf), the final opening reads the last tree.
+        Used for the proof-size budget (no query dedup assumed).
+        """
+        outs = []
+        prev_log = self.starting_log_domain
+        prev_fold = 1 << self.initial_folding_factor
+        k = self.batch_size
+        for rc in self.rounds:
+            depth = prev_log - (prev_fold.bit_length() - 1)
+            outs.append((rc.num_queries, depth, k * prev_fold))
+            prev_log -= 1
+            prev_fold = 1 << rc.folding_factor
+            k = 1
+        depth = prev_log - (prev_fold.bit_length() - 1)
+        outs.append((self.final_queries, depth, k * prev_fold))
+        return outs
+
+    def proof_size_budget(self, n_constraints: int) -> int:
+        """Upper-bound transcript bytes contributed by this WHIR proof
+        (sumcheck absorbs + pow nonces + opening hints + deferred hint;
+        auth paths un-deduped and un-prefix-compressed)."""
+        size = 0
+        # absorbed scalars of proof_pattern
+        absorbs = 3 * self.initial_folding_factor
+        for rc in self.rounds:
+            absorbs += 1 + rc.ood_samples + (1 if rc.pow_bits > 0 else 0)
+            absorbs += 3 * rc.folding_factor
+        absorbs += 1 << self.final_sumcheck_rounds
+        absorbs += 1 if self.final_pow_bits > 0 else 0
+        absorbs += 1 if self.final_folding_pow_bits > 0 else 0
+        size += 32 * absorbs
+        for q, depth, leaf_elems in self.opening_budgets():
+            multipath = (8 + q * 32) + (8 + q * 8) \
+                + (8 + q * (8 + depth * 32)) + (8 + q * 8)
+            answers = 8 + q * (8 + leaf_elems * 32)
+            size += (4 + multipath) + (4 + answers)
+        size += 4 + 8 + 32 * n_constraints  # deferred_weight_evaluations
+        return size
+
+    def commit_size(self) -> int:
+        """Absorbed bytes of one batch commitment (commit_pattern)."""
+        return 32 * (1 + self.commitment_ood_samples * self.batch_size)
+
     def round_domain_generator(self, r: int) -> int:
         """Generator of the domain of the r-th committed oracle (0 = initial)."""
         return F.root_of_unity(self.starting_log_domain - r)
