@@ -336,7 +336,7 @@ def whir_verify_gadget(b: CircuitBuilder, tr: TranscriptGadget,
         queries = tr.challenge_scalars(rc.num_queries)
         openings = _hinted_openings(b, tr, queries, k,
                                     prev_batch * prev_fold_size)
-        for q, idx_bits, leaf_vals, path in openings:
+        for idx_bits, leaf_vals, path in openings:
             merkle_verify_gadget(b, prev_root, leaf_vals, idx_bits, path)
             vals = leaf_vals
             if prev_batch > 1:
@@ -375,7 +375,7 @@ def whir_verify_gadget(b: CircuitBuilder, tr: TranscriptGadget,
     queries = tr.challenge_scalars(config.final_queries)
     openings = _hinted_openings(b, tr, queries, k,
                                 prev_batch * prev_fold_size)
-    for q, idx_bits, leaf_vals, path in openings:
+    for idx_bits, leaf_vals, path in openings:
         merkle_verify_gadget(b, prev_root, leaf_vals, idx_bits, path)
         vals = leaf_vals
         if prev_batch > 1:
@@ -463,26 +463,45 @@ def _eq_eval_closure(coords: list):
 
 def _hinted_openings(b: CircuitBuilder, tr: TranscriptGadget, queries: list,
                      k: int, leaf_elems: int):
-    """Allocate the Merkle openings for the drawn queries.
+    """Allocate the Merkle openings for the drawn queries, sorted-dedup'd.
 
-    Decomposes every query scalar canonically and takes its low k bits as
-    the leaf index (host `s % folded_domain`, whir/prover.py:65-68); looks
-    the index up in the hint blob and allocates leaf values and path as
-    private witnesses.  Duplicate queries allocate (and re-verify)
-    duplicate openings, keeping the circuit shape static.
+    Mirrors the host verifier exactly (whir/verifier.py::_stir_indices —
+    ``indices = sorted({s % 2^k})``): ONE opening per unique index,
+    returned in ascending index order so the caller's chat^i combination
+    weights line up with the prover's rank-indexed powers
+    (whir/prover.py::_stir_ranks).  Every query scalar is decomposed
+    canonically; a duplicate draw is constrained index-equal to its
+    representative and allocates no second opening.  The grouping/order is
+    fixed at synthesis time from the concrete transcript, so the circuit
+    shape is proof-dependent exactly like the reference's MultiPath-shaped
+    gnark circuit (recursive-verifier/app/circuit/common.go:33-85).
     """
     h_idx, sibs, topdown = deserialize_multipath(tr.hint_bytes())
     h_leaves = deserialize_stir_answers(tr.hint_bytes())
     h_paths = [([s] if k else []) + list(reversed(td))
                for s, td in zip(sibs, topdown)]
     lookup = {i: (lv, pt) for i, lv, pt in zip(h_idx, h_leaves, h_paths)}
-    out = []
+
+    def recompose(idx_bits):
+        acc = LC()
+        for i, bit in enumerate(idx_bits):
+            acc = acc + bit.scale(1 << i)
+        return acc
+
+    groups: dict = {}  # concrete index -> [idx_bits per draw]
     for q in queries:
         bits = b.to_bits(q, 254, assert_canonical=True)
         idx_bits = bits[:k]
         idx_val = sum(b.value(bit) << i for i, bit in enumerate(idx_bits))
+        groups.setdefault(idx_val, []).append(idx_bits)
+    out = []
+    for idx_val in sorted(groups):
+        rep, *dups = groups[idx_val]
+        rep_lc = recompose(rep)
+        for d in dups:
+            b.assert_zero(recompose(d) - rep_lc)
         leaf_vals, path = lookup.get(idx_val, ([0] * leaf_elems, [0] * k))
         leaf_lcs = [b.alloc(v) for v in leaf_vals]
         path_lcs = [b.alloc(v) for v in path]
-        out.append((q, idx_bits, leaf_lcs, path_lcs))
+        out.append((rep, leaf_lcs, path_lcs))
     return out

@@ -69,18 +69,21 @@ def spartan_verify_gadget(b: CircuitBuilder, tr: TranscriptGadget, m_0: int,
     return r, alphas, last
 
 
-def build_verifier_circuit(scheme, inner_r1cs, proof: bytes) -> CircuitBuilder:
+def build_verifier_circuit(scheme, inner_r1cs, proof: bytes,
+                           debug_assert: bool = False) -> CircuitBuilder:
     """Synthesize the full verification of ``proof`` for ``scheme``.
 
     Mirrors protocol/scheme.py::verify.  Returns the populated builder;
     ``builder.build()`` yields (R1CS, witness) and
     ``builder.num_public`` public inputs (the absorbed transcript scalars,
-    in order).
+    in order).  With ``debug_assert`` every row is checked against the
+    host assignment as it is emitted (satisfaction proof without
+    materializing the packed R1CS — used by scripts/recursion_scale.py).
     """
     io = scheme.create_io_pattern()
     scalars_int, hints = split_transcript(io, proof)
 
-    b = CircuitBuilder()
+    b = CircuitBuilder(debug_assert=debug_assert)
     scalar_lcs = [b.public_input(v) for v in scalars_int]
     tr = TranscriptGadget(b, io, scalar_lcs, list(hints))
 

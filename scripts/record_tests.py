@@ -1,0 +1,52 @@
+"""Run the test tiers and record the outcome -> TESTS_rNN.json.
+
+Round-3 verdict item 1: test health must be a recorded artifact per round
+(the reference runs its whole matrix in CI —
+tooling/provekit-bench/tests/compiler.rs:27-85).  Tiers:
+
+  default   pytest tests/ -q            (pytest.ini deselects `slow`)
+  slow      pytest tests/ -q -m slow    (multi-minute proofs, 2^16 tables)
+
+Usage: python scripts/record_tests.py <round> [tier ...]
+  e.g. python scripts/record_tests.py 4 default slow
+"""
+
+import json
+import pathlib
+import re
+import subprocess
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+
+def run_tier(tier: str) -> dict:
+    cmd = [sys.executable, "-m", "pytest", "tests/", "-q"]
+    if tier == "slow":
+        cmd += ["-m", "slow"]
+    t0 = time.time()
+    proc = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True)
+    dt = time.time() - t0
+    tail = "\n".join(proc.stdout.strip().splitlines()[-5:])
+    counts = {v: int(k) for k, v in
+              re.findall(r"(\d+) (passed|failed|errors?|skipped|deselected)",
+                         proc.stdout)}
+    return {"tier": tier, "cmd": " ".join(cmd[2:]), "rc": proc.returncode,
+            "seconds": round(dt, 1), "counts": counts, "tail": tail}
+
+
+def main():
+    rnd = int(sys.argv[1])
+    tiers = sys.argv[2:] or ["default", "slow"]
+    doc = {"round": rnd, "tiers": [run_tier(t) for t in tiers]}
+    doc["green"] = all(t["rc"] == 0 for t in doc["tiers"])
+    out = ROOT / f"TESTS_r{rnd:02d}.json"
+    out.write_text(json.dumps(doc, indent=1))
+    print(json.dumps(doc, indent=1))
+    print(f"wrote {out}")
+    sys.exit(0 if doc["green"] else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -126,3 +126,24 @@ def test_tampered_claimed_sums_hint(inner):
         return
     ok, _ = _satisfied(builder)
     assert ok, "recomputed-hint circuit should not depend on hint bytes"
+
+
+def test_circuit_multi_query_rounds_with_duplicates():
+    """Regression: sorted-dedup STIR query weighting in the circuit.
+
+    At real parameters the drawn queries are neither sorted nor distinct;
+    the claim combination must weight the SORTED-UNIQUE indices with
+    chat^(ood+rank), exactly like the prover/host verifier (round-4 fix in
+    _hinted_openings; previously the circuit weighted by draw order and
+    re-added duplicates, desyncing the claim at >=2 queries).  security=20
+    over a 2^5 folded domain draws 20 round-0 queries -> duplicates are
+    certain.  debug_assert checks every emitted row against the host
+    assignment, so a completed synthesis == a satisfied circuit.
+    """
+    r1cs, witness = build_system(seed=5, n_mults=8)
+    scheme = tiny_scheme(r1cs, security=20, folding=2, max_pow=0)
+    proof = scheme.prove(r1cs, witness, rng=random.Random(21))
+    scheme.verify(r1cs, proof)
+    from provekit_tpu.recursion.wrap import build_verifier_circuit
+    builder = build_verifier_circuit(scheme, r1cs, proof, debug_assert=True)
+    assert builder.num_constraints > 0
