@@ -216,7 +216,8 @@ def _commit_sharded(mesh, leaves: jax.Array) -> MerkleTree:
             cur = outs[-1]
             outs.append(S_.compress_v(cur[:, 0::2], cur[:, 1::2]))
         tops = jax.lax.all_gather(outs[-1][:, 0], "shards", axis=1)  # (16, S)
-        return tuple(outs[:-1]) + (tops,)
+        from ..parallel.mesh import _prove_replicated
+        return tuple(outs[:-1]) + (_prove_replicated(tops),)
 
     *sharded, tops = run(x)
     levels = list(sharded) + [tops]

@@ -28,10 +28,24 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map as _shard_map
 
 
+import os
+
+_SHARD_CHECKS = os.environ.get("PROVEKIT_TPU_SHARD_CHECKS", "1") not in (
+    "0", "false", "")
+
+
 def shard_map(*args, **kwargs):
-    """shard_map with the output-replication check disabled (our replicated
-    outputs come from psum/all_gather; the static checker cannot always see
-    that through the limb-plane reductions)."""
+    """shard_map, replication checking controlled by
+    PROVEKIT_TPU_SHARD_CHECKS (default ON since round 4).
+
+    With checks on, the varying-manual-axes checker validates every
+    replicated (``P(None)``) output — psum/all_gather results are tracked
+    through the limb-plane arithmetic.  The escape hatch exists for JAX
+    versions whose checker cannot see through a pattern we use; flipping it
+    off changes no computed bytes (tests/test_sharding.py pins bit-equality
+    against single-device kernels either way)."""
+    if _SHARD_CHECKS:
+        return _shard_map(*args, **kwargs)
     try:
         return _shard_map(*args, check_vma=False, **kwargs)
     except TypeError:
@@ -48,6 +62,19 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()[:n_devices] if n_devices else jax.devices()
     return Mesh(np.array(devices), axis_names=("shards",))
+
+
+def _prove_replicated(x, axis_name: str = "shards"):
+    """Make an identical-on-all-shards value PROVABLY replicated.
+
+    ``all_gather`` results are identical across shards but the vma checker
+    cannot infer that, so replicated (``P(None)``) out_specs are rejected.
+    psum of a shard-0-masked copy is bit-identical (canonical u32 limbs are
+    < 2^16: no wraparound for any mesh up to 2^16 shards) and IS tracked as
+    replicated.  Cost: one tiny collective on a digest-sized array.
+    """
+    me = jax.lax.axis_index(axis_name)
+    return jax.lax.psum(jnp.where(me == 0, x, jnp.zeros_like(x)), axis_name)
 
 
 def _psum_mod(x16, axis_name: str):
@@ -195,7 +222,7 @@ def merkle_root_sharded(mesh: Mesh, leaves):
         while roots.shape[1] > 1:
             from ..hash import skyscraper as S_
             roots = S_.compress_v(roots[:, 0::2], roots[:, 1::2])
-        return roots.reshape(16)
+        return _prove_replicated(roots.reshape(16))
 
     def _local_subtree_root(local):
         from ..hash import skyscraper as S_
