@@ -64,7 +64,7 @@ class NoirToR1CSCompiler:
         return self.r1cs.num_witnesses
 
     def add_witness_builder(self, builder) -> int:
-        start = self.num_witnesses
+        start = self.r1cs.num_witnesses
         self.r1cs.new_witnesses(wb.num_witnesses(builder))
         if isinstance(builder, wb.Acir):
             self.acir_to_r1cs[builder.acir_witness_idx] = builder.witness_idx
@@ -72,10 +72,15 @@ class NoirToR1CSCompiler:
         return start
 
     def fetch_r1cs_witness(self, acir_witness: acir.Witness) -> int:
-        idx = self.acir_to_r1cs.get(acir_witness.index)
+        # hot path: inlined add_witness_builder(Acir) without the
+        # num_witnesses dispatch (Acir builders always allocate 1 slot)
+        key = acir_witness.index
+        idx = self.acir_to_r1cs.get(key)
         if idx is None:
-            idx = self.add_witness_builder(
-                wb.Acir(self.num_witnesses, acir_witness.index))
+            idx = self.r1cs.num_witnesses
+            self.r1cs.new_witnesses(1)
+            self.acir_to_r1cs[key] = idx
+            self.witness_builders.append(wb.Acir(idx, key))
         return idx
 
     def fetch_operand(self, fi: acir.FunctionInput) -> wb.Operand:

@@ -319,6 +319,15 @@ class DeviceProverState:
         self.absorb_pos = 0
         return out
 
+    def add_pow_nonce_dev(self, arr: jax.Array) -> None:
+        """Absorb a grinding nonce held as a (16, 1) canonical device
+        scalar; the wire carries 8 big-endian bytes (spongefish-pow
+        framing), the sponge one unit (the nonce value)."""
+        self.checker.expect("A", 8)
+        self.state = _absorb_jit(self.state, arr, 1, self.absorb_pos)
+        self.absorb_pos = 1
+        self._order.append(("P", arr))
+
     def hint_arrays(self, builder, arrays: list) -> None:
         """Deferred hint: ``builder(*numpy_arrays) -> bytes`` at finalize."""
         self.checker.expect("H", 0)
@@ -351,7 +360,7 @@ class DeviceProverState:
         self.checker.finish()
         blocks = []
         for entry in self._order:
-            if entry[0] == "A":
+            if entry[0] in ("A", "P"):
                 blocks.append(entry[1])
             elif entry[0] == "H":
                 blocks.extend(b for b, _ in entry[2])
@@ -373,6 +382,13 @@ class DeviceProverState:
             if entry[0] == "A":
                 narg += V.to_bytes_le_block(next_block(),
                                             check_canonical=True)
+            elif entry[0] == "P":
+                block = next_block()
+                nonce = 0
+                for l in range(16):
+                    nonce |= int(block[l, 0]) << (16 * l)
+                assert 0 <= nonce < 1 << 64, "pow nonce exceeds u64"
+                narg += nonce.to_bytes(8, "big")
             elif entry[0] == "HB":
                 narg += len(entry[1]).to_bytes(4, "little")
                 narg += entry[1]

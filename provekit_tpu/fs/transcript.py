@@ -119,6 +119,17 @@ class ProverState:
         self.checker.expect("S", n)
         return self.sponge.squeeze(n)
 
+    def add_pow_nonce(self, nonce: int) -> None:
+        """Absorb a grinding nonce: 8 bytes big-endian on the wire
+        (spongefish-pow framing, verified against the reference's own
+        poseidon-1000.np transcript; the Go parse takes the size-bytes
+        branch for the ``pow-nonce`` label, common.go:93-96), one field
+        unit (the nonce value) into the sponge."""
+        self.checker.expect("A", 8)
+        assert 0 <= nonce < 1 << 64
+        self.narg += nonce.to_bytes(8, "big")
+        self.sponge.absorb([nonce])
+
     def hint_bytes(self, data: bytes) -> None:
         self.checker.expect("H", 0)
         self.narg += len(data).to_bytes(4, "little")
@@ -169,6 +180,13 @@ class VerifierState:
     def challenge_scalars(self, n: int) -> list[int]:
         self.checker.expect("S", n)
         return self.sponge.squeeze(n)
+
+    def next_pow_nonce(self) -> int:
+        """Read an 8-byte big-endian grinding nonce (< 2^64 by width)."""
+        self.checker.expect("A", 8)
+        nonce = int.from_bytes(self._take(8), "big")
+        self.sponge.absorb([nonce])
+        return nonce
 
     def hint_bytes(self) -> bytes:
         self.checker.expect("H", 0)

@@ -25,7 +25,10 @@ try:
         return _zstd.ZstdCompressor(level=10).compress(data)
 
     def _decompress(data: bytes) -> bytes:
-        return _zstd.ZstdDecompressor().decompress(data)
+        # streamed frames (the Rust writer's ZstdEncoder) carry no
+        # content-size header; cap output rather than trusting the frame
+        return _zstd.ZstdDecompressor().decompress(
+            data, max_output_size=1 << 31)
 except ImportError:  # pragma: no cover
     def _compress(data: bytes) -> bytes:
         return zlib.compress(data, 6)
@@ -227,6 +230,18 @@ def _decompress_body(blob: bytes) -> bytes:
     return zlib.decompress(blob)
 
 
+def _read_postcard_varint(data: bytes, pos: int) -> tuple[int, int]:
+    """Postcard LEB128 varint (serde seq length prefix)."""
+    shift = val = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, pos
+        shift += 7
+
+
 def write(path, obj) -> None:
     """Write a scheme (.nps) or proof (.np); .json extension = plain JSON."""
     path = Path(path)
@@ -257,13 +272,29 @@ def read(path):
             fmt = blob[8:16].decode("ascii", "replace")
             major = int.from_bytes(blob[16:18], "little")
             minor = int.from_bytes(blob[18:20], "little")
+            if fmt not in _FORMAT_TAGS:
+                raise ValueError(f"unknown format tag {fmt!r}")
+            if major == 0:
+                # A file written by the reference Rust toolchain (its
+                # checked-in artifacts carry version 0.0).  Proof bodies are
+                # postcard NoirProof { transcript: Vec<u8> } — one varint
+                # length + raw bytes — and decode directly; scheme bodies
+                # embed unvendored whir/acir struct layouts and cannot.
+                body = _decompress_body(blob[20:])
+                if fmt.startswith("NPSProof"):
+                    n, off = _read_postcard_varint(body, 0)
+                    if off + n != len(body):
+                        raise ValueError(
+                            "malformed Rust-postcard proof body")
+                    return NoirProof(transcript=body[off:off + n])
+                raise ValueError(
+                    "Rust-postcard scheme bodies are not readable "
+                    "(unvendored struct layouts); re-prepare instead")
             # reference gate (file/bin.rs:92-99): major must match, the
             # file's minor must be >= ours (files carry forward)
             if major != VERSION[0] or minor < VERSION[1]:
                 raise ValueError(
                     f"unsupported artifact version {major}.{minor}")
-            if fmt not in _FORMAT_TAGS:
-                raise ValueError(f"unknown format tag {fmt!r}")
             body = _decompress_body(blob[20:])
         elif blob[:6] == _LEGACY_MAGIC:  # pre-round-4 10-byte header
             fmt = _LEGACY_TAGS.get(blob[6:7])

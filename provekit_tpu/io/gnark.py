@@ -56,7 +56,8 @@ def _deferred_from_transcript(scheme: WhirR1CSScheme,
     deferred = []
     for op in io.ops:
         if op.kind == "A":
-            pos += 32 * op.count
+            # pow-nonce absorbs raw wire bytes (spongefish-pow framing)
+            pos += op.count if op.label == "pow-nonce" else 32 * op.count
         elif op.kind == "H":
             n = int.from_bytes(transcript[pos:pos + 4], "little")
             body = transcript[pos + 4:pos + 4 + n]

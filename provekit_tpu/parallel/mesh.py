@@ -69,9 +69,12 @@ def _prove_replicated(x, axis_name: str = "shards"):
 
     ``all_gather`` results are identical across shards but the vma checker
     cannot infer that, so replicated (``P(None)``) out_specs are rejected.
-    psum of a shard-0-masked copy is bit-identical (canonical u32 limbs are
-    < 2^16: no wraparound for any mesh up to 2^16 shards) and IS tracked as
-    replicated.  Cost: one tiny collective on a digest-sized array.
+    The shard-0 mask means exactly one shard contributes to the psum, so
+    the sum is a bit-exact broadcast of shard 0's value for ANY element
+    type or magnitude, and IS tracked as replicated.  Precondition: x must
+    already be identical on all shards — otherwise every shard silently
+    receives shard 0's copy.  Cost: one tiny collective on a digest-sized
+    array.
     """
     me = jax.lax.axis_index(axis_name)
     return jax.lax.psum(jnp.where(me == 0, x, jnp.zeros_like(x)), axis_name)

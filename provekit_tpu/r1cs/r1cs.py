@@ -179,27 +179,39 @@ class R1CS:
         return self.a.num_rows
 
     def new_witness(self) -> int:
-        idx = self.num_witnesses
-        self.num_witnesses += 1
-        for m in (self.a, self.b, self.c):
-            m.grow(m.num_rows, self.num_witnesses)
-        return idx
+        return self.new_witnesses(1)
 
     def new_witnesses(self, n: int) -> int:
+        # hot path (one call per witness builder): direct attribute stores
+        # instead of per-matrix grow() calls with max()
         first = self.num_witnesses
-        self.num_witnesses += n
-        for m in (self.a, self.b, self.c):
-            m.grow(m.num_rows, self.num_witnesses)
+        nw = first + n
+        self.num_witnesses = nw
+        a, b, c = self.a, self.b, self.c
+        a.num_cols = b.num_cols = c.num_cols = nw
+        a._frozen = b._frozen = c._frozen = None
         return first
 
     def add_constraint(self, a_terms, b_terms, c_terms) -> None:
         """Each *_terms: iterable of (coeff:int, witness_index:int)."""
-        row = self.num_constraints
-        for m, terms in ((self.a, a_terms), (self.b, b_terms), (self.c, c_terms)):
-            m.grow(row + 1, self.num_witnesses)
+        # hot path (one call per constraint): inlined SparseMatrix.set
+        row = self.a.num_rows
+        new_rows = row + 1
+        p = F.P
+        for m, terms in ((self.a, a_terms), (self.b, b_terms),
+                         (self.c, c_terms)):
+            m.num_rows = new_rows
+            m._frozen = None
+            rows_app = m.rows.append
+            cols_app = m.cols.append
+            vids_app = m.value_ids.append
+            intern = m.interner.intern
             for coeff, widx in terms:
-                if coeff % F.P:
-                    m.set(row, widx, coeff)
+                coeff %= p
+                if coeff:
+                    rows_app(row)
+                    cols_app(widx)
+                    vids_app(intern(coeff))
 
     # -- evaluation --------------------------------------------------------
 

@@ -165,7 +165,12 @@ def split_transcript(domsep, proof: bytes) -> tuple[list[int], list[bytes]]:
     hints: list[bytes] = []
     pos = 0
     for op in domsep.ops:
-        if op.kind == "A":
+        if op.kind == "A" and op.label == "pow-nonce":
+            # spongefish-pow framing: 8 wire bytes (big-endian u64), one
+            # sponge unit (common.go:93-96 size-bytes branch)
+            scalars.append(int.from_bytes(proof[pos:pos + 8], "big"))
+            pos += 8
+        elif op.kind == "A":
             for _ in range(op.count):
                 v = int.from_bytes(proof[pos:pos + 32], "little")
                 if v >= F.P:

@@ -476,8 +476,8 @@ def _hinted_openings(b: CircuitBuilder, tr: TranscriptGadget, queries: list,
     shape is proof-dependent exactly like the reference's MultiPath-shaped
     gnark circuit (recursive-verifier/app/circuit/common.go:33-85).
     """
-    h_idx, sibs, topdown = deserialize_multipath(tr.hint_bytes())
     h_leaves = deserialize_stir_answers(tr.hint_bytes())
+    h_idx, sibs, topdown = deserialize_multipath(tr.hint_bytes())
     h_paths = [([s] if k else []) + list(reversed(td))
                for s, td in zip(sibs, topdown)]
     lookup = {i: (lv, pt) for i, lv, pt in zip(h_idx, h_leaves, h_paths)}

@@ -12,8 +12,14 @@ End-to-end counterpart of the reference's Go pipeline
 2. :func:`setup` / :func:`prove` / :func:`verify` run the in-tree Groth16
    engine (recursion/groth16.py) on that circuit.
 
-The circuit layout is fully determined by the scheme configuration, so one
-setup serves every proof of the same compiled circuit.
+NOTE on key reuse: the circuit layout depends on the CONCRETE proof, not
+just the scheme — STIR query dedup (which draws collide) and the sorted
+opening order are fixed at synthesis (verifier_circuit.py::_hinted_openings),
+so Groth16 keys from :func:`setup` are single-proof: wrapping a different
+proof requires re-synthesis + a fresh setup.  The reference shares this
+property (its gnark circuit shape embeds the proof's MultiPath geometry,
+common.go:33-85); its CI regenerates the CCS per workload for the same
+reason.
 """
 
 from __future__ import annotations

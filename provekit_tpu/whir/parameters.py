@@ -217,15 +217,17 @@ class WhirConfig:
         (sumcheck absorbs + pow nonces + opening hints + deferred hint;
         auth paths un-deduped and un-prefix-compressed)."""
         size = 0
-        # absorbed scalars of proof_pattern
+        # absorbed scalars of proof_pattern (+ 8-byte pow nonces)
         absorbs = 3 * self.initial_folding_factor
+        nonces = 0
         for rc in self.rounds:
-            absorbs += 1 + rc.ood_samples + (1 if rc.pow_bits > 0 else 0)
+            absorbs += 1 + rc.ood_samples
+            nonces += 1 if rc.pow_bits > 0 else 0
             absorbs += 3 * rc.folding_factor
         absorbs += 1 << self.final_sumcheck_rounds
-        absorbs += 1 if self.final_pow_bits > 0 else 0
-        absorbs += 1 if self.final_folding_pow_bits > 0 else 0
-        size += 32 * absorbs
+        nonces += 1 if self.final_pow_bits > 0 else 0
+        nonces += 1 if self.final_folding_pow_bits > 0 else 0
+        size += 32 * absorbs + 8 * nonces
         for q, depth, leaf_elems in self.opening_budgets():
             multipath = (8 + q * 32) + (8 + q * 8) \
                 + (8 + q * (8 + depth * 32)) + (8 + q * 8)

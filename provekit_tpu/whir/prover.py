@@ -39,8 +39,11 @@ def proof_pattern(ds, config: WhirConfig, label: str = "") -> None:
     """Transcript shape of a WHIR opening proof (add_whir_proof).
 
     Hint labels/placement follow the Go verifier's parse surface
-    (common.go:44-63: "merkle_proof" + "stir_answers" per opening,
-    "deferred_weight_evaluations" once per proof)."""
+    (common.go:44-63) and are VERIFIED against the reference's own Rust
+    proof bytes (tooling/provekit-bench/benches/poseidon-1000.np, walked
+    structurally by tests/test_reference_transcript.py): per opening the
+    hints are "stir_answers" THEN "merkle_proof"; grinding nonces are
+    8 wire bytes under the spongefish-pow "pow-nonce" label."""
     ds.squeeze(1, f"initial_combination_randomness{label}")
     for _ in range(config.initial_folding_factor):
         ds.absorb(3, "sumcheck_poly").squeeze(1, "folding_randomness")
@@ -50,23 +53,23 @@ def proof_pattern(ds, config: WhirConfig, label: str = "") -> None:
             ds.squeeze(rc.ood_samples, "ood_query")
             ds.absorb(rc.ood_samples, "ood_answers")
         if rc.pow_bits > 0:
-            ds.squeeze(1, "pow_challenge").absorb(1, "pow_nonce")
+            ds.squeeze(1, "pow_challenge").absorb(8, "pow-nonce")
         ds.squeeze(rc.num_queries, "stir_queries")
-        ds.hint("merkle_proof")
         ds.hint("stir_answers")
+        ds.hint("merkle_proof")
         ds.squeeze(1, "combination_randomness")
         for _ in range(rc.folding_factor):
             ds.absorb(3, "sumcheck_poly").squeeze(1, "folding_randomness")
     ds.absorb(1 << config.final_sumcheck_rounds, "final_coefficients")
     if config.final_pow_bits > 0:
-        ds.squeeze(1, "pow_challenge").absorb(1, "pow_nonce")
+        ds.squeeze(1, "pow_challenge").absorb(8, "pow-nonce")
     ds.squeeze(config.final_queries, "final_queries")
-    ds.hint("merkle_proof")
     ds.hint("stir_answers")
+    ds.hint("merkle_proof")
     for _ in range(config.final_sumcheck_rounds):
         ds.absorb(3, "sumcheck_poly").squeeze(1, "folding_randomness")
     if config.final_folding_pow_bits > 0:
-        ds.squeeze(1, "pow_challenge").absorb(1, "pow_nonce")
+        ds.squeeze(1, "pow_challenge").absorb(8, "pow-nonce")
     ds.hint("deferred_weight_evaluations")
 
 
@@ -173,8 +176,9 @@ def _open_oracle_dev(transcript, encoding: jax.Array,
                      fold_size: int) -> None:
     """Gather leaf values + auth paths on device; defer hint serialization.
 
-    Emits the reference's two hints per opening — ``merkle_proof``
-    (MultiPath) then ``stir_answers`` (leaf field elements) — as parsed by
+    Emits the reference's two hints per opening — ``stir_answers`` (leaf
+    field elements) then ``merkle_proof`` (MultiPath) — the order observed
+    in the reference's own proof bytes (poseidon-1000.np) and parsed by
     recursive-verifier/app/circuit/common.go:44-63."""
     k = encoding.shape[1]
     n = encoding.shape[2]
@@ -189,15 +193,15 @@ def _open_oracle_dev(transcript, encoding: jax.Array,
     view = encoding.reshape(16, -1)
     leaf_block = V.from_mont(view[:, flat_idx])
     path_block = merkle.open_gather_dev(tree, idx_sorted)
-    transcript.hint_arrays(_multipath_builder(tree.depth),
-                           [idx_sorted, path_block])
     transcript.hint_arrays(_answers_builder(k * fold_size),
                            [idx_sorted, leaf_block])
+    transcript.hint_arrays(_multipath_builder(tree.depth),
+                           [idx_sorted, path_block])
 
 
 def _send_pow_dev(transcript, bits: float) -> None:
     ch = transcript.challenge_scalars_dev(1)
-    transcript.add_scalars_dev(pow_mod.solve_dev(ch, bits))
+    transcript.add_pow_nonce_dev(pow_mod.solve_dev(ch, bits))
 
 
 def _sumcheck_rounds_dev(transcript, fw: jax.Array, count: int):

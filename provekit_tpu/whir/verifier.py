@@ -63,8 +63,8 @@ def parse_commitment(transcript, config: WhirConfig) -> ParsedCommitment:
 
 def _check_pow(transcript, bits: float) -> None:
     ch = transcript.challenge_scalars(1)[0]
-    [nonce] = transcript.next_scalars(1)
-    if nonce >= 1 << 64 or not pow_mod.verify(ch, bits, nonce):
+    nonce = transcript.next_pow_nonce()
+    if not pow_mod.verify(ch, bits, nonce):
         raise WhirError("PoW verification failed")
 
 
@@ -91,15 +91,16 @@ def _stir_indices(transcript, num_queries: int, folded_domain: int) -> list[int]
 
 def _read_openings(transcript, indices: list[int], depth: int,
                    leaf_elems: int):
-    """Parse the (merkle_proof, stir_answers) hint pair for one opening.
+    """Parse the (stir_answers, merkle_proof) hint pair for one opening.
 
     Returns (leaf_values, bottom_up_paths); raises WhirError on any
     structural mismatch.  Wire format: whir/hints.py (the Go verifier's
-    common.go:44-63 / mt.go:37-60 surface)."""
+    common.go:44-63 / mt.go:37-60 surface); answers-before-path order
+    as observed in the reference's own proof bytes."""
     try:
+        leaf_values = deserialize_stir_answers(transcript.hint_bytes())
         idx_mp, siblings, topdown = deserialize_multipath(
             transcript.hint_bytes())
-        leaf_values = deserialize_stir_answers(transcript.hint_bytes())
     except ValueError as e:
         raise WhirError(f"malformed opening hint: {e}") from None
     if idx_mp != indices:

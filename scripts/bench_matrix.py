@@ -20,11 +20,19 @@ DEFAULT = ["poseidon", "sha256", "p256", "passport"]
 
 def run_one(kind: str) -> dict:
     env = dict(os.environ, BENCH_CIRCUIT=kind)
-    proc = subprocess.run([sys.executable, "bench.py"], cwd=ROOT, env=env,
-                          capture_output=True, text=True, timeout=3600)
-    for line in reversed(proc.stdout.strip().splitlines()):
-        if line.startswith("{"):
-            return json.loads(line)
+    try:
+        proc = subprocess.run([sys.executable, "bench.py"], cwd=ROOT,
+                              env=env, capture_output=True, text=True,
+                              timeout=int(os.environ.get(
+                                  "BENCH_TIMEOUT", 3600)))
+    except subprocess.TimeoutExpired as e:
+        return {"workload": kind, "error": "timeout",
+                "tail": ((e.stdout or b"").decode("utf-8", "replace")
+                         + (e.stderr or b"").decode("utf-8", "replace"))[-500:]}
+    if proc.returncode == 0:
+        for line in reversed(proc.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
     return {"workload": kind, "error": proc.returncode,
             "tail": (proc.stdout + proc.stderr)[-500:]}
 
@@ -37,9 +45,10 @@ def main():
         row = run_one(kind)
         rows.append(row)
         print(json.dumps(row), flush=True)
+        if out_path:  # flush after every workload: a later hang loses nothing
+            pathlib.Path(out_path).write_text(json.dumps(
+                {"workloads": rows}, indent=1))
     if out_path:
-        pathlib.Path(out_path).write_text(json.dumps(
-            {"workloads": rows}, indent=1))
         print(f"wrote {out_path}")
 
 

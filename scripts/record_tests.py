@@ -29,9 +29,12 @@ def run_tier(tier: str) -> dict:
     proc = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True)
     dt = time.time() - t0
     tail = "\n".join(proc.stdout.strip().splitlines()[-5:])
-    counts = {v: int(k) for k, v in
-              re.findall(r"(\d+) (passed|failed|errors?|skipped|deselected)",
-                         proc.stdout)}
+    counts = {}
+    for k, v in re.findall(
+            r"(\d+) (passed|failed|errors?|skipped|deselected)",
+            proc.stdout):
+        key = "errors" if v.startswith("error") else v
+        counts[key] = counts.get(key, 0) + int(k)
     return {"tier": tier, "cmd": " ".join(cmd[2:]), "rc": proc.returncode,
             "seconds": round(dt, 1), "counts": counts, "tail": tail}
 
@@ -40,7 +43,9 @@ def main():
     rnd = int(sys.argv[1])
     tiers = sys.argv[2:] or ["default", "slow"]
     doc = {"round": rnd, "tiers": [run_tier(t) for t in tiers]}
-    doc["green"] = all(t["rc"] == 0 for t in doc["tiers"])
+    # pytest rc 5 = no tests collected for the tier's marker: record it,
+    # but an empty tier is not a failure
+    doc["green"] = all(t["rc"] in (0, 5) for t in doc["tiers"])
     out = ROOT / f"TESTS_r{rnd:02d}.json"
     out.write_text(json.dumps(doc, indent=1))
     print(json.dumps(doc, indent=1))

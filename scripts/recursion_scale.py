@@ -56,9 +56,11 @@ def estimate(scheme, r1cs, c_comp: int) -> dict:
             leaves += nq * (leaf_elems - 1) * c_comp
             grind += c_comp
             if rc is not None:
-                log_leaves = (log_leaves - cfg.folding_factor
-                              + cfg.folding_factor - 1)  # new domain/fold
-                log_leaves = max(0, log_leaves)
+                # next oracle: domain halves (-1) while the fold width stays
+                # 2^folding_factor, so tree depth drops by exactly one (the
+                # -folding_factor from the fold and +folding_factor from
+                # re-leafing cancel)
+                log_leaves = max(0, log_leaves - 1)
                 leaf_elems = 1 << cfg.folding_factor
         est[f"whir_{label}_merkle_paths"] = merkle
         est[f"whir_{label}_leaf_hashing"] = leaves

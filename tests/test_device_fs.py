@@ -77,8 +77,13 @@ def test_proof_bytes_regression():
     # round-parameter schedule (whir/parameters.py mirroring
     # gnark_config.rs:60-98) after the round-2 bump, changing per-round
     # query/PoW counts and hence the transcript.
+    # Re-pinned round 5: two framing fixes verified against the reference's
+    # OWN Rust proof bytes (benches/poseidon-1000.np, walked by
+    # tests/test_reference_transcript.py): grinding nonces are 8 big-endian
+    # wire bytes under the spongefish-pow "pow-nonce" label, and per-opening
+    # hints are stir_answers before merkle_proof.
     assert hashlib.sha256(proof).hexdigest() == (
-        "026e768d6e23b696045f62152e82f26bbdbeb59042320af52109aff4c50bfb6c")
+        "efa6851f51a1090ab1139f427a9a67daa4b2c16037937f0e853bb8db0c5cbfb0")
     scheme.verify(r1cs, proof)
 
 
@@ -98,7 +103,7 @@ def test_proof_bytes_regression_hybrid():
         scheme = tiny_scheme(r1cs, security=3, folding=2, max_pow=2)
         proof = scheme.prove(r1cs, witness, rng=random.Random(11))
         assert hashlib.sha256(proof).hexdigest() == (
-            "026e768d6e23b696045f62152e82f26bbdbeb59042320af52109aff4c50bfb6c")
+            "efa6851f51a1090ab1139f427a9a67daa4b2c16037937f0e853bb8db0c5cbfb0")
     finally:
         prover_mod.FUSE_MAX = saved
 
@@ -123,7 +128,7 @@ def test_proof_bytes_regression_cheap_sync():
         proof = scheme.prove(r1cs, witness, rng=random.Random(11),
                              mesh=make_mesh(1))
         assert hashlib.sha256(proof).hexdigest() == (
-            "026e768d6e23b696045f62152e82f26bbdbeb59042320af52109aff4c50bfb6c")
+            "efa6851f51a1090ab1139f427a9a67daa4b2c16037937f0e853bb8db0c5cbfb0")
     finally:
         config.CHEAP_SYNC, sc_mod.HOST_TAIL, ntt_mod.HOST_TAIL = saved
 
@@ -142,4 +147,4 @@ def test_proof_bytes_regression_mesh():
     proof = scheme.prove(r1cs, witness, rng=random.Random(11),
                          mesh=make_mesh(1))
     assert hashlib.sha256(proof).hexdigest() == (
-        "026e768d6e23b696045f62152e82f26bbdbeb59042320af52109aff4c50bfb6c")
+        "efa6851f51a1090ab1139f427a9a67daa4b2c16037937f0e853bb8db0c5cbfb0")

@@ -52,8 +52,11 @@ def test_full_parse_walk(exported):
     assert len(f_sums) == 3 and len(g_sums) == 3
 
     # the Go-side "truncated" transcript is exactly the absorbed scalars
+    # (+ raw 8-byte pow nonces, common.go:93-96 size-bytes branch)
     io = scheme.create_io_pattern()
-    absorbed = sum(op.count for op in io.ops if op.kind == "A") * 32
+    absorbed = sum(
+        op.count if op.label == "pow-nonce" else op.count * 32
+        for op in io.ops if op.kind == "A")
     assert len(parsed.truncated) == absorbed
 
     # interner round-trip
