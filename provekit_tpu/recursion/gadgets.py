@@ -44,7 +44,15 @@ def bar(b: CircuitBuilder, x: LC) -> LC:
     The output is the recomposed integer reduced mod p — in-circuit the
     recomposition LC *is* that reduction (field arithmetic), so no second
     decomposition is needed.
+
+    With lookups enabled on the builder (``b.lookups``, recursion/lookup.py)
+    the byte decomposition + S-box run through the 8-bit logUp table
+    (~115 constraints/bar) instead of boolean decomposition (~1,270):
+    the route the reference's gnark-skyscraper takes.
     """
+    lk = getattr(b, "lookups", None)
+    if lk is not None:
+        return _bar_lookup(b, lk, x)
     bits = b.to_bits(x, NBITS, assert_canonical=True)
     bits = bits + [b.constant(0)] * (256 - NBITS)
     out = LC()
@@ -55,6 +63,35 @@ def bar(b: CircuitBuilder, x: LC) -> LC:
             out = out + bit.scale(1 << (8 * byte_i + k))
     # collapse the 256-term recomposition to one wire so downstream rows
     # referencing the bar output stay sparse
+    out_w = b.alloc(b.value(out))
+    b.assert_eq(out, out_w)
+    return out_w
+
+
+def _bar_lookup(b: CircuitBuilder, lk, x: LC) -> LC:
+    """Lookup-table bar: 32 S-box byte lookups + 16-limb canonicality.
+
+    The canonical byte decomposition is pinned by (a) each byte's range via
+    its S-box lookup row, (b) the recomposition equality, and (c) a
+    borrow-chain comparison of the 16-bit limbs against p-1
+    (lookup.py::assert_limbs_le_constant — exact over the integers).
+    """
+    xv = b.value(x)
+    assert xv < F.P
+    ins, outs = [], []
+    for i in range(32):
+        in_lc, out_lc = lk.sbox_byte((xv >> (8 * i)) & 0xFF)
+        ins.append(in_lc)
+        outs.append(out_lc)
+    acc = LC()
+    for i, lc in enumerate(ins):
+        acc = acc + lc.scale(1 << (8 * i))
+    b.assert_eq(acc, x)
+    limbs = [ins[2 * j] + ins[2 * j + 1].scale(256) for j in range(16)]
+    lk.assert_limbs_le_constant(limbs, F.P - 1)
+    out = LC()
+    for i in range(32):
+        out = out + outs[(i + 16) % 32].scale(1 << (8 * i))
     out_w = b.alloc(b.value(out))
     b.assert_eq(out, out_w)
     return out_w

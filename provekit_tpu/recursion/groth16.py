@@ -140,6 +140,15 @@ class Groth16Keys:
     gamma2: tuple
     ic1: list     # [(beta u_i + alpha v_i + w_i)/gamma]_1, public wires
     n_public: int  # statement length including the constant-1 wire
+    # commitment extension (gnark-style, for in-circuit logUp lookups):
+    # committed wires are moved from the delta group to the gamma group and
+    # aggregated into a Pedersen commitment D carried by the proof; the
+    # lookup challenges are derived by hashing D (wrap.py).  A proof of
+    # knowledge (basis scaled by a secret eta) pins D to the committed span.
+    committed: list | None = None   # sorted committed wire indices
+    ck1: list | None = None         # [K_i/gamma]_1 per committed wire
+    ck1_eta: list | None = None     # [eta K_i/gamma]_1 (PoK basis)
+    eta2: tuple | None = None       # [eta]_2
 
 
 @dataclass
@@ -147,6 +156,8 @@ class Groth16Proof:
     a: tuple  # G1
     b: tuple  # G2
     c: tuple  # G1
+    d: tuple | None = None    # G1 Pedersen commitment over committed wires
+    pok: tuple | None = None  # G1 knowledge proof for d
 
 
 def _qap_evals_at_tau(r1cs, tau: int, n: int, omega: int):
@@ -172,8 +183,15 @@ def _qap_evals_at_tau(r1cs, tau: int, n: int, omega: int):
     return u, v, w
 
 
-def setup(r1cs, rng=None) -> Groth16Keys:
-    """Circuit-specific trusted setup (toxic waste drawn locally)."""
+def setup(r1cs, rng=None, committed=None) -> Groth16Keys:
+    """Circuit-specific trusted setup (toxic waste drawn locally).
+
+    ``committed``: wire indices (all >= the public count) whose K elements
+    move from the delta group into a gamma-scaled Pedersen basis; the proof
+    then carries their aggregate D + a knowledge proof, and the verifier
+    folds D into the public-input term.  Their kw1 slots are zeroed and
+    skipped by the prover.
+    """
     rng = rng or secrets.SystemRandom()
     tau = rng.randrange(1, R)
     alpha = rng.randrange(1, R)
@@ -193,7 +211,18 @@ def setup(r1cs, rng=None) -> Groth16Keys:
     k = [(beta * u[i] + alpha * v[i] + w[i]) % R
          for i in range(r1cs.num_witnesses)]
     ic1 = _g1_base_batch(g1, [k[i] * inv_gamma % R for i in range(n_public)])
-    kw1 = _g1_base_batch(g1, [k[i] * inv_delta % R
+
+    committed = sorted(committed) if committed else None
+    ck1 = ck1_eta = eta2 = None
+    cset = set(committed or ())
+    if committed:
+        assert committed[0] >= n_public, "cannot commit public wires"
+        eta = rng.randrange(1, R)
+        ck_scalars = [k[i] * inv_gamma % R for i in committed]
+        ck1 = _g1_base_batch(g1, ck_scalars)
+        ck1_eta = _g1_base_batch(g1, [s * eta % R for s in ck_scalars])
+        eta2 = G2.mul(g2, eta)
+    kw1 = _g1_base_batch(g1, [0 if i in cset else k[i] * inv_delta % R
                               for i in range(n_public, r1cs.num_witnesses)])
 
     zt = (pow(tau, n, R) - 1) % R
@@ -213,7 +242,8 @@ def setup(r1cs, rng=None) -> Groth16Keys:
         v2=_g2_base_batch(g2, v),
         kw1=kw1, zt1=zt1,
         gamma2=G2.mul(g2, gamma),
-        ic1=ic1, n_public=n_public)
+        ic1=ic1, n_public=n_public,
+        committed=committed, ck1=ck1, ck1_eta=ck1_eta, eta2=eta2)
 
 
 def _h_coeffs(r1cs, z: list[int], n: int, omega: int) -> list[int]:
@@ -256,8 +286,12 @@ def _h_coeffs(r1cs, z: list[int], n: int, omega: int) -> list[int]:
     return out[:n - 1]
 
 
-def prove(keys: Groth16Keys, r1cs, z: list[int], rng=None) -> Groth16Proof:
-    """z: full witness vector (canonical ints, z[0] == 1)."""
+def prove(keys: Groth16Keys, r1cs, z: list[int], rng=None,
+          d_pt=None) -> Groth16Proof:
+    """z: full witness vector (canonical ints, z[0] == 1).
+
+    ``d_pt``: optional precomputed commitment point (the wrapper already
+    computed it to derive the lookup challenges; skips one large MSM)."""
     assert z[0] == 1, "witness vector must start with the constant 1"
     rng = rng or secrets.SystemRandom()
     r = rng.randrange(R)
@@ -280,7 +314,8 @@ def prove(keys: Groth16Keys, r1cs, z: list[int], rng=None) -> Groth16Proof:
                                        [a for _, a in nz]))
     b1_pt = G1.add(b1_pt, G1.mul(keys.delta1, s))
 
-    priv = [(i, a) for i, a in nz if i >= keys.n_public]
+    cset = set(keys.committed or ())
+    priv = [(i, a) for i, a in nz if i >= keys.n_public and i not in cset]
     c_pt = _g1_msm([keys.kw1[i - keys.n_public] for i, _ in priv],
                    [a for _, a in priv])
     hnz = [(i, c) for i, c in enumerate(h) if c]
@@ -289,7 +324,23 @@ def prove(keys: Groth16Keys, r1cs, z: list[int], rng=None) -> Groth16Proof:
     c_pt = G1.add(c_pt, G1.mul(a_pt, s))
     c_pt = G1.add(c_pt, G1.mul(b1_pt, r))
     c_pt = G1.add(c_pt, G1.neg(G1.mul(keys.delta1, r * s % R)))
-    return Groth16Proof(a=a_pt, b=b2_pt, c=c_pt)
+
+    pok_pt = None
+    if keys.committed:
+        cz = [z[i] for i in keys.committed]
+        if d_pt is None:
+            d_pt = commit(keys, cz)
+        pok_pt = _g1_msm(keys.ck1_eta, cz)
+    else:
+        d_pt = None
+    return Groth16Proof(a=a_pt, b=b2_pt, c=c_pt, d=d_pt, pok=pok_pt)
+
+
+def commit(keys: Groth16Keys, committed_values: list[int]):
+    """Pedersen commitment D over the committed wires' values (in the order
+    of ``keys.committed``).  Exposed so the wrapper can derive the lookup
+    challenges from D before solving the challenge-dependent wires."""
+    return _g1_msm(keys.ck1, [v % R for v in committed_values])
 
 
 def verify(keys: Groth16Keys, proof: Groth16Proof,
@@ -300,6 +351,17 @@ def verify(keys: Groth16Keys, proof: Groth16Proof,
         raise ValueError(
             f"{len(stmt) - 1} public inputs, expected {keys.n_public - 1}")
     vk_x = G1.msm(keys.ic1, stmt)
+    if keys.committed:
+        if proof.d is None or proof.pok is None:
+            return False
+        # knowledge proof: D really is a combination of the committed basis
+        # (e(D, [eta]_2) == e(pok, [1]_2))
+        if not pairing_product_is_one([
+                (proof.d, keys.eta2),
+                (G1.neg(proof.pok), g2_generator()),
+        ]):
+            return False
+        vk_x = G1.add(vk_x, proof.d)
     # e(A, B) = e(alpha, beta) e(vk_x, gamma) e(C, delta)
     return pairing_product_is_one([
         (G1.neg(proof.a), proof.b),

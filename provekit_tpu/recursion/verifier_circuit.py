@@ -117,6 +117,14 @@ def pow_check(b: CircuitBuilder, tr: TranscriptGadget, bits: float) -> None:
     and compress(challenge, nonce) < threshold."""
     ch = tr.challenge_scalars(1)[0]
     [nonce] = tr.next_scalars(1)
+    lk = getattr(b, "lookups", None)
+    if lk is not None:
+        lk.uint_limbs(nonce, 64)  # pins nonce < 2^64
+        h = compress(b, ch, nonce)
+        # h <= threshold-1 < p also pins the decomposition canonical
+        limbs = lk.uint_limbs(h, 256)
+        lk.assert_limbs_le_constant(limbs, pow_mod.threshold(bits) - 1)
+        return
     b.to_bits(nonce, 64)  # recomposition over 64 bits pins nonce < 2^64
     h = compress(b, ch, nonce)
     hbits = b.to_bits(h, 254, assert_canonical=True)
@@ -488,9 +496,13 @@ def _hinted_openings(b: CircuitBuilder, tr: TranscriptGadget, queries: list,
             acc = acc + bit.scale(1 << i)
         return acc
 
+    lk = getattr(b, "lookups", None)
     groups: dict = {}  # concrete index -> [idx_bits per draw]
     for q in queries:
-        bits = b.to_bits(q, 254, assert_canonical=True)
+        if lk is not None:
+            _, bits = lk.canonical_limbs(q, low_bits=max(1, k))
+        else:
+            bits = b.to_bits(q, 254, assert_canonical=True)
         idx_bits = bits[:k]
         idx_val = sum(b.value(bit) << i for i, bit in enumerate(idx_bits))
         groups.setdefault(idx_val, []).append(idx_bits)

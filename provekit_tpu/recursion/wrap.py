@@ -76,7 +76,8 @@ def spartan_verify_gadget(b: CircuitBuilder, tr: TranscriptGadget, m_0: int,
 
 
 def build_verifier_circuit(scheme, inner_r1cs, proof: bytes,
-                           debug_assert: bool = False) -> CircuitBuilder:
+                           debug_assert: bool = False, lookups: bool = True,
+                           challenges=None) -> CircuitBuilder:
     """Synthesize the full verification of ``proof`` for ``scheme``.
 
     Mirrors protocol/scheme.py::verify.  Returns the populated builder;
@@ -85,12 +86,30 @@ def build_verifier_circuit(scheme, inner_r1cs, proof: bytes,
     in order).  With ``debug_assert`` every row is checked against the
     host assignment as it is emitted (satisfaction proof without
     materializing the packed R1CS — used by scripts/recursion_scale.py).
+
+    With ``lookups`` (default, the production path) the Skyscraper bar /
+    PoW / query decompositions run through logUp tables
+    (recursion/lookup.py) and the builder gains TWO trailing public inputs
+    — the lookup challenges (beta, theta) — plus ``builder.lookups``
+    holding the committed-wire indices for the Groth16 commitment.
+    ``challenges`` supplies their concrete values (derived from the
+    commitment point by :func:`prove`); without it a fixed placeholder is
+    used, which yields the correct SHAPE and a satisfied system, but not
+    the binding the soundness argument needs — :func:`prove` always
+    re-synthesizes with the real values.
     """
     io = scheme.create_io_pattern()
     scalars_int, hints = split_transcript(io, proof)
 
     b = CircuitBuilder(debug_assert=debug_assert)
     scalar_lcs = [b.public_input(v) for v in scalars_int]
+    beta_lc = theta_lc = None
+    if lookups:
+        from .lookup import (Lookups, PLACEHOLDER_BETA, PLACEHOLDER_THETA)
+        bv, tv = challenges or (PLACEHOLDER_BETA, PLACEHOLDER_THETA)
+        beta_lc = b.public_input(bv)
+        theta_lc = b.public_input(tv)
+        b.lookups = Lookups(b)
     tr = TranscriptGadget(b, io, scalar_lcs, list(hints))
 
     com = parse_commitment_gadget(b, tr, scheme.whir_witness)
@@ -127,7 +146,38 @@ def build_verifier_circuit(scheme, inner_r1cs, proof: bytes,
         eq_ra = b.mul(eq_ra, eq_term(b, rr, aa))
     want = b.mul(b.mul(f_sums[0], f_sums[1]) - f_sums[2], eq_ra)
     b.assert_eq(last, want)
+    if lookups:
+        b.lookups.finalize(beta_lc, theta_lc)
     return b
+
+
+def lookup_challenges(d_point) -> tuple[int, int]:
+    """(beta, theta) = hash of the Pedersen commitment point.
+
+    The commitment binds every looked-up wire and multiplicity (the PoK in
+    groth16.verify pins D to the committed basis), so challenges derived
+    from D are sampled after the lookup multiset is fixed — the Fiat-Shamir
+    step gnark performs for ``api.Commit`` (std/multicommit); the wrapper
+    verifier recomputes them from the proof's D and refuses mismatching
+    public inputs.
+    """
+    import hashlib
+    if d_point is None:
+        ser = b"infinity"
+    else:
+        ser = d_point[0].to_bytes(32, "big") + d_point[1].to_bytes(32, "big")
+    out = []
+    for tag in (b"beta", b"theta"):
+        ctr = 0
+        while True:
+            h = hashlib.sha256(b"provekit-tpu-logup-" + tag + b"-" + ser
+                               + ctr.to_bytes(4, "big")).digest()
+            v = int.from_bytes(h, "big") % P
+            if v:
+                out.append(v)
+                break
+            ctr += 1
+    return out[0], out[1]
 
 
 @dataclass
@@ -136,22 +186,50 @@ class RecursiveKeys:
     wrapper_r1cs: object
 
 
-def setup(scheme, inner_r1cs, sample_proof: bytes, rng=None) -> RecursiveKeys:
+def setup(scheme, inner_r1cs, sample_proof: bytes, rng=None,
+          lookups: bool = True) -> RecursiveKeys:
     """Build the wrapper circuit once and run the Groth16 trusted setup."""
-    builder = build_verifier_circuit(scheme, inner_r1cs, sample_proof)
+    builder = build_verifier_circuit(scheme, inner_r1cs, sample_proof,
+                                     lookups=lookups)
     wrapper, _ = builder.build()
-    return RecursiveKeys(groth16.setup(wrapper, rng=rng), wrapper)
+    committed = builder.lookups.committed if lookups else None
+    return RecursiveKeys(
+        groth16.setup(wrapper, rng=rng, committed=committed), wrapper)
 
 
 def prove(rk: RecursiveKeys, scheme, inner_r1cs, proof: bytes,
           rng=None) -> tuple[groth16.Groth16Proof, list[int]]:
-    """Wrap ``proof`` in a Groth16 proof.  Returns (g16 proof, publics)."""
-    builder = build_verifier_circuit(scheme, inner_r1cs, proof)
-    _, z = builder.build()
+    """Wrap ``proof`` in a Groth16 proof.  Returns (g16 proof, publics).
+
+    With lookups the synthesis runs twice: pass 1 (placeholder challenges)
+    yields the committed wires' values — which are challenge-independent —
+    the commitment D over them fixes (beta, theta), and pass 2 solves the
+    challenge-dependent wires (logUp inverses) with the real values.
+    """
+    lookups = bool(rk.keys.committed)
+    builder = build_verifier_circuit(scheme, inner_r1cs, proof,
+                                     lookups=lookups)
+    d_pt = None
+    if lookups:
+        cvals = [builder.values[i] for i in rk.keys.committed]
+        d_pt = groth16.commit(rk.keys, cvals)
+        builder = build_verifier_circuit(
+            scheme, inner_r1cs, proof, lookups=True,
+            challenges=lookup_challenges(d_pt))
+        assert [builder.values[i] for i in rk.keys.committed] == cvals, \
+            "committed wires drifted between synthesis passes"
+    z = list(builder.values)
+    assert len(z) == rk.wrapper_r1cs.num_witnesses, \
+        "circuit shape differs from the setup-time synthesis"
     publics = z[1:builder.num_public + 1]
-    return groth16.prove(rk.keys, rk.wrapper_r1cs, z, rng=rng), publics
+    return (groth16.prove(rk.keys, rk.wrapper_r1cs, z, rng=rng, d_pt=d_pt),
+            publics)
 
 
 def verify(rk: RecursiveKeys, g16_proof: groth16.Groth16Proof,
            publics: list[int]) -> bool:
+    if rk.keys.committed:
+        beta, theta = lookup_challenges(g16_proof.d)
+        if list(publics[-2:]) != [beta, theta]:
+            return False
     return groth16.verify(rk.keys, g16_proof, publics)

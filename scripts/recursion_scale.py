@@ -28,10 +28,14 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def compress_cost() -> int:
-    """Measured constraints of ONE in-circuit Skyscraper compress."""
+    """Measured constraints of ONE in-circuit Skyscraper compress (lookup
+    path — the production route; round-4's 5,078-constraint boolean bar is
+    the lookups=False fallback)."""
     from provekit_tpu.recursion.builder import CircuitBuilder
     from provekit_tpu.recursion.gadgets import compress
+    from provekit_tpu.recursion.lookup import Lookups
     b = CircuitBuilder()
+    b.lookups = Lookups(b)
     x = b.alloc(3)
     compress(b, x, x)
     return b.num_constraints
@@ -83,7 +87,7 @@ def main():
     security = int(os.environ.get("RECUR_SECURITY", 100))
     max_pow = (int(os.environ["RECUR_MAX_POW"])
                if "RECUR_MAX_POW" in os.environ else None)
-    wrap_max = int(os.environ.get("RECUR_WRAP_MAX", 400_000))
+    wrap_max = int(os.environ.get("RECUR_WRAP_MAX", 8_000_000))
 
     from provekit_tpu.circuits import poseidon
     from provekit_tpu.compiler import NoirProofScheme
@@ -151,23 +155,38 @@ def main():
 
     if builder.num_wires <= wrap_max:
         t5 = time.perf_counter()
-        wrapper, z = builder.build()
+        wrapper, _ = builder.build()
         doc["r1cs_build_s"] = round(time.perf_counter() - t5, 2)
         from provekit_tpu.recursion import groth16
+        from provekit_tpu.recursion.wrap import lookup_challenges
+        committed = builder.lookups.committed
+        doc["committed_wires"] = len(committed)
         g16rng = random.Random(99)
         t7 = time.perf_counter()
-        keys = groth16.setup(wrapper, rng=g16rng)
+        keys = groth16.setup(wrapper, rng=g16rng, committed=committed)
         t8 = time.perf_counter()
-        publics = z[1:builder.num_public + 1]
-        g16p = groth16.prove(keys, wrapper, z, rng=g16rng)
+        print(f"groth16 setup {t8 - t7:.1f}s "
+              f"({len(committed):,} committed wires)", flush=True)
+        # derive the lookup challenges from the commitment, re-synthesize
+        # with the real values (wrap.prove's two-pass flow, inlined so the
+        # shape-check synthesis above is reused as pass 1)
+        cvals = [builder.values[i] for i in committed]
+        d_pt = groth16.commit(keys, cvals)
+        builder2 = build_verifier_circuit(
+            w, r1cs, proof, challenges=lookup_challenges(d_pt))
+        assert [builder2.values[i] for i in committed] == cvals
+        z = list(builder2.values)
+        t85 = time.perf_counter()
+        g16p = groth16.prove(keys, wrapper, z, rng=g16rng, d_pt=d_pt)
         t9 = time.perf_counter()
+        publics = z[1:builder2.num_public + 1]
         ok = groth16.verify(keys, g16p, publics)
         t10 = time.perf_counter()
         doc["groth16_setup_s"] = round(t8 - t7, 2)
-        doc["groth16_prove_s"] = round(t9 - t8, 2)
+        doc["groth16_prove_s"] = round(t9 - t85, 2)
         doc["groth16_verify_s"] = round(t10 - t9, 3)
-        doc["groth16_ok"] = bool(ok)
-        print(f"groth16: setup {t8-t7:.1f}s prove {t9-t8:.1f}s "
+        doc["groth16_verified"] = bool(ok)
+        print(f"groth16: setup {t8-t7:.1f}s prove {t9-t85:.1f}s "
               f"verify {t10-t9:.3f}s ok={ok}", flush=True)
         assert ok
     else:

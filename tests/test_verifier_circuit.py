@@ -60,11 +60,28 @@ def test_circuit_accepts_valid_proof(inner):
     builder = build_verifier_circuit(scheme, r1cs, proof)
     ok, wrapper = _satisfied(builder)
     assert ok, "verifier circuit rejected a valid proof"
-    # the public inputs are exactly the absorbed transcript scalars
+    # publics = the absorbed transcript scalars + the 2 lookup challenges
     from provekit_tpu.recursion.gadgets import split_transcript
     scalars, _ = split_transcript(scheme.create_io_pattern(), proof)
-    assert builder.num_public == len(scalars)
+    assert builder.num_public == len(scalars) + 2
+    assert wrapper.num_public_inputs == len(scalars) + 2
+    assert builder.lookups.committed, "lookup path not engaged"
+
+
+def test_circuit_bitwise_path_matches(inner):
+    """The legacy boolean-decomposition path (lookups=False) still accepts
+    the same proof, with publics = transcript scalars only — and costs
+    several times more constraints than the lookup path."""
+    from provekit_tpu.recursion.wrap import build_verifier_circuit
+    r1cs, scheme, proof = inner
+    b_look = build_verifier_circuit(scheme, r1cs, proof)
+    b_bits = build_verifier_circuit(scheme, r1cs, proof, lookups=False)
+    ok, wrapper = _satisfied(b_bits)
+    assert ok
+    from provekit_tpu.recursion.gadgets import split_transcript
+    scalars, _ = split_transcript(scheme.create_io_pattern(), proof)
     assert wrapper.num_public_inputs == len(scalars)
+    assert b_bits.num_constraints > 2 * b_look.num_constraints
 
 
 def test_circuit_rejects_tampered_proof(inner):
