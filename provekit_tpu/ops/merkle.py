@@ -192,6 +192,7 @@ def _commit_sharded(mesh, leaves: jax.Array) -> MerkleTree:
     import functools
     from jax.sharding import NamedSharding, PartitionSpec as P
     from ..hash import skyscraper as S_
+    from ..parallel import context as pctx
     from ..parallel.mesh import shard_map
 
     s = int(mesh.devices.size)
@@ -209,13 +210,20 @@ def _commit_sharded(mesh, leaves: jax.Array) -> MerkleTree:
                        in_specs=(P(None, None, "shards", None),),
                        out_specs=out_specs)
     def run(lv):
-        local = lv.reshape(16, leaf_size, per)
-        h = _hash_leaves_jit(local, False) if leaf_size > 1 else local[:, 0]
-        outs = [h]
-        while outs[-1].shape[1] > 1:
-            cur = outs[-1]
-            outs.append(S_.compress_v(cur[:, 0::2], cur[:, 1::2]))
-        tops = jax.lax.all_gather(outs[-1][:, 0], "shards", axis=1)  # (16, S)
+        # per-shard local compute: Pallas kernels legal again (shard_body)
+        from . import pallas_kernels as PK
+        with pctx.shard_body():
+            local = lv.reshape(16, leaf_size, per)
+            use_pallas = (PK._pallas_enabled() and per >= 4096
+                          and (per & (per - 1)) == 0)
+            h = (_hash_leaves_jit(local, use_pallas) if leaf_size > 1
+                 else local[:, 0])
+            outs = [h]
+            while outs[-1].shape[1] > 1:
+                cur = outs[-1]
+                outs.append(PK.compress_dispatch(cur[:, 0::2], cur[:, 1::2]))
+            tops = jax.lax.all_gather(outs[-1][:, 0], "shards",
+                                      axis=1)  # (16, S)
         from ..parallel.mesh import _prove_replicated
         return tuple(outs[:-1]) + (_prove_replicated(tops),)
 

@@ -77,14 +77,19 @@ def _pease_flat(x, tw, rev, log_m: int, chunk: int):
 
     from . import pallas_kernels as PK
 
+    fused = PK.ntt_stage_enabled(chunk)
     for s in range(log_m):
-        a = jax.lax.slice(x, (0, 0), (16, half))
-        b = jax.lax.slice(x, (0, half), (16, n))
         # stage-s twiddle of major index k: w^{(k >> s) << s} -- the
-        # stride-2^s decimation of the table, each entry repeated
-        # 2^s * chunk times (strided slice + broadcast; no gather)
+        # stride-2^s decimation of the table (entry j >> s for chunk j)
         dec = tw if s == 0 else jax.lax.slice(
             tw, (0, 0), (16, (m >> 1) - (1 << s) + 1), (1, 1 << s))
+        if fused:
+            # butterfly + chunk interleave + in-VMEM twiddle broadcast in
+            # ONE pass (see pallas_kernels.ntt_stage_pallas)
+            x = PK.ntt_stage_pallas(x, dec, s, chunk)
+            continue
+        a = jax.lax.slice(x, (0, 0), (16, half))
+        b = jax.lax.slice(x, (0, half), (16, n))
         rep = (1 << s) * chunk
         tw_s = jnp.broadcast_to(dec[:, :, None],
                                 (16, m >> (s + 1), rep)).reshape(16, half)

@@ -40,6 +40,32 @@ def active_mesh() -> Mesh | None:
     return _ACTIVE
 
 
+_IN_SHARD_BODY = False
+
+
+def in_shard_body() -> bool:
+    return _IN_SHARD_BODY
+
+
+@contextmanager
+def shard_body():
+    """Mark a ``shard_map`` body trace: kernels see per-shard LOCAL arrays.
+
+    ``pallas_call`` is not GSPMD-partitionable, so kernel dispatches fall
+    back to XLA whenever a mesh is active — EXCEPT inside a shard_map body,
+    where shapes are already local to one device and Pallas is legal again.
+    The mesh module wraps its body functions with this marker so the
+    per-shard compute keeps the VMEM-resident kernels (round-4 verdict
+    item 6: the compress kernel is 12x the XLA lowering)."""
+    global _IN_SHARD_BODY
+    prev = _IN_SHARD_BODY
+    _IN_SHARD_BODY = True
+    try:
+        yield
+    finally:
+        _IN_SHARD_BODY = prev
+
+
 @contextmanager
 def use_mesh(mesh: Mesh | None):
     """Run a prove (or any prover stage) with its big arrays mesh-sharded."""

@@ -51,6 +51,7 @@ def shard_map(*args, **kwargs):
     except TypeError:
         return _shard_map(*args, check_rep=False, **kwargs)
 
+from . import context as pctx
 from ..fields import bn254 as F
 from ..fields import vector as V
 from ..fields.wide import reduce_wide
@@ -94,10 +95,11 @@ def spartan_round_sharded(mesh: Mesh, a, b, c, eq):
     @functools.partial(shard_map, mesh=mesh, in_specs=(spec,) * 4,
                        out_specs=(P(None),) * 3)
     def run(a, b, c, eq):
-        a, b, c, eq = (x.reshape(16, -1) for x in (a, b, c, eq))
-        f0, fm1, finf = sc.spartan_round(a, b, c, eq)
-        return (_psum_mod(f0, "shards"), _psum_mod(fm1, "shards"),
-                _psum_mod(finf, "shards"))
+        with pctx.shard_body():
+            a, b, c, eq = (x.reshape(16, -1) for x in (a, b, c, eq))
+            f0, fm1, finf = sc.spartan_round(a, b, c, eq)
+            return (_psum_mod(f0, "shards"), _psum_mod(fm1, "shards"),
+                    _psum_mod(finf, "shards"))
 
     return run(a, b, c, eq)
 
@@ -109,8 +111,9 @@ def fold_msb_sharded(mesh: Mesh, x, alpha):
     @functools.partial(shard_map, mesh=mesh, in_specs=(spec, P(None)),
                        out_specs=spec)
     def run(x, alpha):
-        local = x.reshape(16, -1)
-        return sc.fold(local, alpha).reshape(16, 1, -1)
+        with pctx.shard_body():
+            local = x.reshape(16, -1)
+            return sc.fold(local, alpha).reshape(16, 1, -1)
 
     return run(x, alpha)
 
@@ -122,10 +125,11 @@ def whir_round_sharded(mesh: Mesh, f, w):
     @functools.partial(shard_map, mesh=mesh, in_specs=(spec, spec),
                        out_specs=(P(None),) * 3)
     def run(f, w):
-        f, w = f.reshape(16, -1), w.reshape(16, -1)
-        h0, h1, h2 = sc.whir_round(f, w)
-        return (_psum_mod(h0, "shards"), _psum_mod(h1, "shards"),
-                _psum_mod(h2, "shards"))
+        with pctx.shard_body():
+            f, w = f.reshape(16, -1), w.reshape(16, -1)
+            h0, h1, h2 = sc.whir_round(f, w)
+            return (_psum_mod(h0, "shards"), _psum_mod(h1, "shards"),
+                    _psum_mod(h2, "shards"))
 
     return run(f, w)
 
@@ -137,8 +141,9 @@ def fold_lsb_sharded(mesh: Mesh, x, alpha):
     @functools.partial(shard_map, mesh=mesh, in_specs=(spec, P(None)),
                        out_specs=spec)
     def run(x, alpha):
-        local = x.reshape(16, -1)
-        return sc.fold_lsb(local, alpha).reshape(16, 1, -1)
+        with pctx.shard_body():
+            local = x.reshape(16, -1)
+            return sc.fold_lsb(local, alpha).reshape(16, 1, -1)
 
     return run(x, alpha)
 
@@ -179,6 +184,10 @@ def ntt_sharded(mesh: Mesh, x, log_n: int):
     @functools.partial(shard_map, mesh=mesh, in_specs=(spec, spec),
                        out_specs=spec)
     def run(x, tw):
+        with pctx.shard_body():
+            return _run_body(x, tw)
+
+    def _run_body(x, tw):
         # local x: (16, 1, B) = c[a*B : (a+1)*B] (contiguous row a = j1)
         # Transpose to gather j1 axis locally: all_to_all over sub-chunks.
         sub = x.reshape(16, s, b_dim // s)  # axis1 = destination shard t
@@ -219,6 +228,10 @@ def merkle_root_sharded(mesh: Mesh, leaves):
     @functools.partial(shard_map, mesh=mesh, in_specs=(spec,),
                        out_specs=P(None))
     def run(leaves):
+        with pctx.shard_body():
+            return _run_body(leaves)
+
+    def _run_body(leaves):
         local = leaves.reshape(16, leaves.shape[1], -1)
         tree = _local_subtree_root(local)
         roots = jax.lax.all_gather(tree, "shards", axis=1)  # (16, S)
@@ -228,11 +241,11 @@ def merkle_root_sharded(mesh: Mesh, leaves):
         return _prove_replicated(roots.reshape(16))
 
     def _local_subtree_root(local):
-        from ..hash import skyscraper as S_
         from ..ops import merkle as merkle_mod
+        from ..ops import pallas_kernels as PK
         h = merkle_mod.hash_leaves(local)
         while h.shape[1] > 1:
-            h = S_.compress_v(h[:, 0::2], h[:, 1::2])
+            h = PK.compress_dispatch(h[:, 0::2], h[:, 1::2])
         return h
 
     return run(leaves)

@@ -36,11 +36,23 @@ def _child_prove(mesh_size: int, n_mults: int, out_path, extra_env=None,
     return out_path.read_bytes()
 
 
-@pytest.mark.parametrize("n_devices", [2, 8])
-def test_sharded_prove_bit_exact(tmp_path, n_devices):
-    base = _child_prove(1, 24, tmp_path / "base.np")
-    sharded = _child_prove(n_devices, 24, tmp_path / f"m{n_devices}.np")
-    assert sharded == base
+@pytest.fixture(scope="module")
+def base_proof(tmp_path_factory):
+    """Single-device reference proof, computed once for all mesh sizes."""
+    out = tmp_path_factory.mktemp("sharded") / "base.np"
+    return _child_prove(1, 24, out)
+
+
+def test_sharded_prove_bit_exact(tmp_path, base_proof):
+    sharded = _child_prove(8, 24, tmp_path / "m8.np")
+    assert sharded == base_proof
+
+
+@pytest.mark.slow
+def test_sharded_prove_bit_exact_m2(tmp_path, base_proof):
+    """2-device mesh (different shard geometry than the default 8)."""
+    sharded = _child_prove(2, 24, tmp_path / "m2.np")
+    assert sharded == base_proof
 
 
 @pytest.mark.slow
