@@ -75,16 +75,22 @@ def main():
     proof = scheme.whir_for_witness.prove(r1cs, witness, rng=rng)
     scheme.whir_for_witness.verify(r1cs, proof)
 
+    from provekit_tpu.utils.profiling import GLOBAL
+    mark = len(GLOBAL.root.children)
     t0 = time.perf_counter()
     proof = scheme.whir_for_witness.prove(r1cs, witness, rng=rng)
     prove_s = time.perf_counter() - t0
+    # coarse phase breakdown of the timed prove (dispatch wall-times; the
+    # final narg_fetch blocks on the whole device backlog).  Recorded into
+    # the JSON so BENCH_rNN carries the breakdown, not just the total.
+    prove_spans = {s.name: round(s.elapsed, 3)
+                   for s in GLOBAL.root.children[mark:]}
 
     t0 = time.perf_counter()
     scheme.whir_for_witness.verify(r1cs, proof)
     verify_s = time.perf_counter() - t0
 
     if os.environ.get("BENCH_SPANS"):
-        from provekit_tpu.utils.profiling import GLOBAL
         print(GLOBAL.report(), file=sys.stderr)
 
     cps = r1cs.num_constraints / prove_s
@@ -105,6 +111,7 @@ def main():
         "proof_bytes_budget": scheme.whir_for_witness.proof_size_budget(),
         "security_level": security,
         "platform": jax.devices()[0].platform,
+        "prove_spans": prove_spans,
     }))
 
 

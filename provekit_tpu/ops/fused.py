@@ -9,10 +9,9 @@ dispatch:
 * the duplex sponge (Skyscraper, N=2 R=1) advances on device between the
   vectorized round computations (a fori_loop ladder with a bar/square
   select), exactly mirroring the host sponge;
-* the round loop is itself a ``fori_loop`` with STATIC shapes: arrays keep
-  their full length and the active prefix is tracked with masks (a round at
-  active size s does n/2 masked pair-ops — at most ~2x the compact work,
-  negligible on-device);
+* the rounds are unrolled at trace time with exact halving shapes, so the
+  whole segment does geometric (~n) pair-ops — shapes are static per round
+  because the round index is a Python int;
 * the host replays the returned coefficients through its own transcript
   (cheap) and lands on the identical sponge state.
 
@@ -75,14 +74,6 @@ def _eval_poly_mont(coeffs: list, x: jax.Array) -> jax.Array:
     for c in reversed(coeffs[:-1]):
         acc = V.add_mod(_mm(acc, x), c)
     return acc
-
-
-def _masked_sum(x: jax.Array, active_pairs: jax.Array) -> jax.Array:
-    """Modular sum over the first `active_pairs` lanes of (16, h)."""
-    h = x.shape[1]
-    idx = jnp.arange(h)
-    x = jnp.where((idx < active_pairs)[None, :], x, 0)
-    return V.sum_mod(x)
 
 
 # --- per-round message math (shared by the fused segments and the
@@ -172,41 +163,41 @@ def whir_sumcheck_segment(fw: jax.Array, state: jax.Array, count: int):
     fw (16, 2, n) Montgomery; state (16, 2) canonical sponge.
     Returns (fw_folded (16,2,n) with the result in the leading n/2^count
     entries, state', coeffs (16, count, 3) canonical).
+
+    The rounds are UNROLLED at trace time with exact halving shapes —
+    geometric total work (~n pair-ops for the whole segment) instead of
+    the fori_loop formulation's count*n/2 full-length masked passes
+    (round-4 verdict item 4).  Same limb ops in the same order, so the
+    messages are bit-identical to the masked version.
     """
     n = fw.shape[2]
-    h = n // 2
-
-    def body(j, carry):
-        fw, state, coeffs, alphas = carry
-        active = jnp.int32(n) >> j          # current length
-        ap = active >> 1                    # active pairs
-        f0, w0 = fw[:, 0, 0::2], fw[:, 1, 0::2]
-        f1, w1 = fw[:, 0, 1::2], fw[:, 1, 1::2]
+    coeffs_cols, alpha_cols = [], []
+    cur = fw
+    for _ in range(count):
+        f0, w0 = cur[:, 0, 0::2], cur[:, 1, 0::2]
+        f1, w1 = cur[:, 0, 1::2], cur[:, 1, 1::2]
         df, dw = V.sub_mod(f1, f0), V.sub_mod(w1, w0)
-        h0 = _masked_sum(_mm(f0, w0), ap).reshape(16, 1)
-        h1 = _masked_sum(V.add_mod(_mm(f0, dw), _mm(w0, df)), ap).reshape(16, 1)
-        h2 = _masked_sum(_mm(df, dw), ap).reshape(16, 1)
+        h0 = V.sum_mod(_mm(f0, w0)).reshape(16, 1)
+        h1 = V.sum_mod(V.add_mod(_mm(f0, dw), _mm(w0, df))).reshape(16, 1)
+        h2 = V.sum_mod(_mm(df, dw)).reshape(16, 1)
 
         hc = [_from_mont1(x) for x in whir_round_messages(h0, h1, h2)]
-        coeffs = jax.lax.dynamic_update_slice(
-            coeffs, jnp.stack(hc, axis=2).reshape(16, 1, 3), (0, j, 0))
+        coeffs_cols.append(jnp.stack(hc, axis=2).reshape(16, 1, 3))
         state = _absorb_seq(state, hc)
         state, alpha_c = _squeeze1(state)
-        alphas = jax.lax.dynamic_update_slice(alphas, alpha_c, (0, j))
+        alpha_cols.append(alpha_c)
         alpha_m = _to_mont1(alpha_c)
 
+        h = cur.shape[2] // 2
         ab = jnp.broadcast_to(alpha_m[:, None, :], (16, 2, h))
-        ev = fw[:, :, 0::2]
-        od = fw[:, :, 1::2]
-        folded = V.add_mod(ev, V.mont_mul(ab, V.sub_mod(od, ev)))
-        fw = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=2)
-        return fw, state, coeffs, alphas
+        ev = cur[:, :, 0::2]
+        od = cur[:, :, 1::2]
+        cur = V.add_mod(ev, V.mont_mul(ab, V.sub_mod(od, ev)))
 
-    coeffs0 = jnp.zeros((16, count, 3), dtype=V.U32)
-    alphas0 = jnp.zeros((16, count), dtype=V.U32)
-    fw, state, coeffs, alphas = jax.lax.fori_loop(
-        0, count, body, (fw, state, coeffs0, alphas0))
-    return fw, state, coeffs, alphas
+    fw = jnp.concatenate(
+        [cur, jnp.zeros((16, 2, n - cur.shape[2]), dtype=V.U32)], axis=2)
+    return (fw, state, jnp.concatenate(coeffs_cols, axis=1),
+            jnp.concatenate(alpha_cols, axis=1))
 
 
 @functools.partial(jax.jit, static_argnums=(9,))
@@ -227,17 +218,16 @@ def spartan_sumcheck_fused(abce: jax.Array, state: jax.Array,
     unfused, see protocol.spartan's hybrid driver).
     Returns (state', coeffs (16, m_0, 4) canonical).
     """
-    n = abce.shape[2]
-    h = n // 2
+    # Rounds UNROLLED at trace time with exact halving shapes (geometric
+    # total work in ONE dispatch; see whir_sumcheck_segment).  MSB pairing:
+    # on the compact array, pair (i, i + len/2) is simply the two halves.
     half_c = jnp.asarray(V._const_limbs(F.to_mont(F.HALF))).reshape(16, 1)
-
-    def body(idx, carry):
-        abce, state, coeffs, alphas, claim, prefix = carry
-        active = jnp.int32(n) >> idx
-        ap = active >> 1
-        lo = abce[:, :, :h]
-        # pair (i, i + active/2): hi[i] = abce[ap + i]; ap + h <= n always
-        hi = jax.lax.dynamic_slice_in_dim(abce, ap, h, axis=2)
+    cur, claim, prefix = abce, claim0, prefix0
+    coeffs_cols, alpha_cols = [], []
+    for idx in range(m_0):
+        h = cur.shape[2] // 2
+        lo = cur[:, :, :h]
+        hi = cur[:, :, h:]
         a0, b0, c0v, e0 = lo[:, 0], lo[:, 1], lo[:, 2], lo[:, 3]
         a1, b1, c1v, e1 = hi[:, 0], hi[:, 1], hi[:, 2], hi[:, 3]
 
@@ -250,36 +240,29 @@ def spartan_sumcheck_fused(abce: jax.Array, state: jax.Array,
                              dbl_sub(c0v, c1v)))
         finfv = _mm(V.sub_mod(e1, e0), _mm(V.sub_mod(a1, a0),
                                            V.sub_mod(b1, b0)))
-        f0 = _masked_sum(f0v, ap).reshape(16, 1)
-        fm1 = _masked_sum(fm1v, ap).reshape(16, 1)
-        finf = _masked_sum(finfv, ap).reshape(16, 1)
+        f0 = V.sum_mod(f0v).reshape(16, 1)
+        fm1 = V.sum_mod(fm1v).reshape(16, 1)
+        finf = V.sum_mod(finfv).reshape(16, 1)
 
-        g = [jax.lax.dynamic_slice(g_coeffs, (0, idx, k), (16, 1, 1)
-                                   ).reshape(16, 1) for k in range(4)]
-        pm = jax.lax.dynamic_slice_in_dim(pms, idx, 1, axis=1)
-        sm = jax.lax.dynamic_slice_in_dim(sms, idx, 1, axis=1)
-        sfx = jax.lax.dynamic_slice_in_dim(suffix, idx, 1, axis=1)
+        g = [g_coeffs[:, idx, k].reshape(16, 1) for k in range(4)]
+        pm = pms[:, idx:idx + 1]
+        sm = sms[:, idx:idx + 1]
+        sfx = suffix[:, idx:idx + 1]
 
         cs = spartan_round_coeffs(f0, fm1, finf, claim, prefix, g,
                                   pm, sm, sfx, rho, half_c)
         cs_canon = [_from_mont1(c) for c in cs]
-        coeffs = jax.lax.dynamic_update_slice(
-            coeffs, jnp.stack(cs_canon, axis=2).reshape(16, 1, 4), (0, idx, 0))
+        coeffs_cols.append(jnp.stack(cs_canon, axis=2).reshape(16, 1, 4))
         state = _absorb_seq(state, cs_canon)
         state, alpha_c = _squeeze1(state)
-        alphas = jax.lax.dynamic_update_slice(alphas, alpha_c, (0, idx))
+        alpha_cols.append(alpha_c)
         alpha_m = _to_mont1(alpha_c)
 
         claim = _eval_poly_mont(cs, alpha_m)
         prefix = V.add_mod(prefix, _eval_poly_mont(g, alpha_m))
 
         ab = jnp.broadcast_to(alpha_m[:, None, :], (16, 4, h))
-        folded = V.add_mod(lo, V.mont_mul(ab, V.sub_mod(hi, lo)))
-        abce = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=2)
-        return abce, state, coeffs, alphas, claim, prefix
+        cur = V.add_mod(lo, V.mont_mul(ab, V.sub_mod(hi, lo)))
 
-    coeffs0 = jnp.zeros((16, m_0, 4), dtype=V.U32)
-    alphas0 = jnp.zeros((16, m_0), dtype=V.U32)
-    _, state, coeffs, alphas, _, _ = jax.lax.fori_loop(
-        0, m_0, body, (abce, state, coeffs0, alphas0, claim0, prefix0))
-    return state, coeffs, alphas
+    return (state, jnp.concatenate(coeffs_cols, axis=1),
+            jnp.concatenate(alpha_cols, axis=1))

@@ -253,13 +253,21 @@ def open_gather_dev(tree: MerkleTree, indices: jax.Array) -> jax.Array:
         if not blocks:
             return jnp.zeros((16, 0), dtype=jnp.uint32)
         return jnp.asarray(np.concatenate(blocks, axis=1))
+    if len(tree.levels) <= 1:
+        return jnp.zeros((16, 0), dtype=jnp.uint32)
+    # one jitted program for all levels: ~depth separate gather dispatches
+    # otherwise, each paying the per-dispatch floor (~1.8 ms tunneled)
+    return _open_gather_jit(tuple(tree.levels[:-1]), indices)
+
+
+@jax.jit
+def _open_gather_jit(levels: tuple, indices: jax.Array) -> jax.Array:
     gathered = []
     cur = indices
-    for level in tree.levels[:-1]:
+    for level in levels:
         gathered.append(level[:, cur ^ jnp.uint32(1)])
         cur = cur >> 1
-    return jnp.concatenate(gathered, axis=1) if gathered else \
-        jnp.zeros((16, 0), dtype=jnp.uint32)
+    return jnp.concatenate(gathered, axis=1)
 
 
 def verify_path(root: int, leaf_values: list[int], index: int,

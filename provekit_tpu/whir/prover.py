@@ -19,6 +19,7 @@ bit-exactly.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -181,6 +182,20 @@ def _open_oracle_dev(transcript, encoding: jax.Array,
     in the reference's own proof bytes (poseidon-1000.np) and parsed by
     recursive-verifier/app/circuit/common.go:44-63."""
     k = encoding.shape[1]
+    leaf_block = _leaf_gather_jit(encoding, idx_sorted, fold_size)
+    path_block = merkle.open_gather_dev(tree, idx_sorted)
+    transcript.hint_arrays(_answers_builder(k * fold_size),
+                           [idx_sorted, leaf_block])
+    transcript.hint_arrays(_multipath_builder(tree.depth),
+                           [idx_sorted, path_block])
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _leaf_gather_jit(encoding: jax.Array, idx_sorted: jax.Array,
+                     fold_size: int) -> jax.Array:
+    """Opened-leaf field elements, one program (index build + gather +
+    from_mont would otherwise dispatch separately per opening)."""
+    k = encoding.shape[1]
     n = encoding.shape[2]
     per_leaf = n // fold_size
     # leaf element (i, t) of leaf idx = enc_i[idx + t*per_leaf]
@@ -191,12 +206,7 @@ def _open_oracle_dev(transcript, encoding: jax.Array,
     flat_idx = (poly[None, :] + offs[None, :]
                 + base[:, None]).reshape(-1)                  # (q*k*fold)
     view = encoding.reshape(16, -1)
-    leaf_block = V.from_mont(view[:, flat_idx])
-    path_block = merkle.open_gather_dev(tree, idx_sorted)
-    transcript.hint_arrays(_answers_builder(k * fold_size),
-                           [idx_sorted, leaf_block])
-    transcript.hint_arrays(_multipath_builder(tree.depth),
-                           [idx_sorted, path_block])
+    return V.from_mont(view[:, flat_idx])
 
 
 def _send_pow_dev(transcript, bits: float) -> None:
@@ -285,8 +295,12 @@ def _sumcheck_rounds_mesh(transcript, fw: jax.Array, count: int):
     return fw, jnp.concatenate(alphas, axis=1)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
 def _stir_ranks(qs_canon: jax.Array, folded_domain: int):
-    """Sorted indices, uniqueness mask, dedup rank for device STIR queries."""
+    """Sorted indices, uniqueness mask, dedup rank for device STIR queries.
+
+    Jitted as one program: the sort/compare/cumsum chain is five tiny
+    dispatches otherwise, each paying the tunneled dispatch floor."""
     idx = D.scalar_index_u32(qs_canon, folded_domain - 1)
     idx_sorted = jnp.sort(idx)
     uniq = jnp.concatenate([jnp.ones((1,), bool),

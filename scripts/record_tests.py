@@ -22,7 +22,7 @@ ROOT = pathlib.Path(__file__).resolve().parents[1]
 
 
 def run_tier(tier: str) -> dict:
-    cmd = [sys.executable, "-m", "pytest", "tests/", "-q"]
+    cmd = [sys.executable, "-m", "pytest", "tests/", "-q", "--durations=25"]
     if tier == "slow":
         cmd += ["-m", "slow"]
     t0 = time.time()
@@ -35,8 +35,12 @@ def run_tier(tier: str) -> dict:
             proc.stdout):
         key = "errors" if v.startswith("error") else v
         counts[key] = counts.get(key, 0) + int(k)
+    # per-test wall-clock budget hogs (pytest --durations block)
+    slowest = [ln.strip() for ln in proc.stdout.splitlines()
+               if re.match(r"\s*\d+(\.\d+)?s\s+(call|setup|teardown)\s", ln)]
     return {"tier": tier, "cmd": " ".join(cmd[2:]), "rc": proc.returncode,
-            "seconds": round(dt, 1), "counts": counts, "tail": tail}
+            "seconds": round(dt, 1), "counts": counts,
+            "slowest": slowest[:25], "tail": tail}
 
 
 def main():
