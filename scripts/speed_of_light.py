@@ -138,11 +138,14 @@ def main():
     t = timeit(sc._spartan_round_stacked_dev, abce)
     record("spartan_round", t, n // 2, 2 * 5 * 1120, 4 * 64 * n)
 
-    # -- whir fused segment (4 rounds in one dispatch)
+    # -- whir fused segment (4 rounds in one dispatch); rounds are unrolled
+    #    with halving shapes, so the op model is geometric:
+    #    sum_j (n/2^{j+1}) pairs x 6 muls = 6*1120*n*(1 - 2^-4) total
     fw = jnp.stack([a, b], axis=1)
     st = jax.device_put(np.zeros((16, 2), np.uint32))
     t = timeit(lambda f, s: fused.whir_sumcheck_segment(f, s, 4), fw, st)
-    record("whir_segment_x4", t, n // 2, 4 * 6 * 1120, 2 * 64 * n)
+    record("whir_segment_x4", t, n // 2,
+           int(2 * 6 * 1120 * (1 - 0.5 ** 4)), 2 * 64 * n)
 
     # -- dispatch floor
     t = timeit(lambda x: x + jnp.uint32(1), a)
