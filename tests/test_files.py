@@ -236,3 +236,42 @@ def test_abi_encoding():
     assert out == [16, 1, 2, 3, ord("h"), ord("i"), 5, 1]
     with pytest.raises(ValueError, match="missing input"):
         input_from_toml(abi, 'x = 1\n')
+
+
+def test_legacy_header_proof_read(tmp_path):
+    """Pre-round-4 artifacts (10-byte PKTPU header) still read: both the
+    PKB1 binary body and the oldest JSON body with a hex transcript.
+    (Round-4 review: the legacy-read path was only incidentally covered.)
+    """
+    import json
+    import zlib
+    from provekit_tpu.compiler.scheme import NoirProof
+    from provekit_tpu.io import files
+
+    proof = NoirProof(transcript=b"\x07" * 40 + b"legacy-read-check")
+    # current framing, then re-frame the same compressed body legacy-style
+    cur = tmp_path / "cur.np"
+    files.write(cur, proof)
+    body = cur.read_bytes()[20:]
+    legacy = b"PKTPU\x00" + b"\x02" + b"\x00" + bytes([1, 0]) + body
+    p1 = tmp_path / "legacy_bin.np"
+    p1.write_bytes(legacy)
+    assert files.read(p1).transcript == proof.transcript
+
+    # oldest form: zlib JSON body with a hex transcript
+    doc = {"format": "NPSProof", "transcript": proof.transcript.hex()}
+    jbody = zlib.compress(json.dumps(doc).encode())
+    p2 = tmp_path / "legacy_json.np"
+    p2.write_bytes(b"PKTPU\x00" + b"\x02" + b"\x00" + bytes([0, 9]) + jbody)
+    assert files.read(p2).transcript == proof.transcript
+
+    # unknown legacy tag / future legacy version still rejected
+    import pytest
+    p3 = tmp_path / "bad_tag.np"
+    p3.write_bytes(b"PKTPU\x00" + b"\x09" + b"\x00" + bytes([1, 0]) + body)
+    with pytest.raises(ValueError):
+        files.read(p3)
+    p4 = tmp_path / "bad_ver.np"
+    p4.write_bytes(b"PKTPU\x00" + b"\x02" + b"\x00" + bytes([2, 0]) + body)
+    with pytest.raises(ValueError):
+        files.read(p4)
