@@ -114,6 +114,11 @@ class SparseMatrix:
 
 
 HOST_TAIL_NNZ = 4096
+# nnz chunk for the device matvec: caps the (32, chunk) wide-product temps
+# at ~270 MB so multi-million-nnz circuits (sha256-chain) fit in HBM
+import os as _os
+MATVEC_CHUNK = int(_os.environ.get("PROVEKIT_TPU_MATVEC_CHUNK",
+                                   str(1 << 21)))
 
 
 @dataclass
@@ -144,23 +149,44 @@ class FrozenMatrix:
                 out[c] = (out[c] + v * vv[r]) % F.P
         return V.pack([F.to_mont(v) for v in out])
 
+    def _chunked_mul(self, vec: jax.Array, gather_idx: jax.Array,
+                     ids: jax.Array, extra, out_len: int) -> jax.Array:
+        """Gather + Montgomery product + segment sum, chunked over nnz.
+
+        One full-nnz pass materializes (32, nnz) wide-product temps —
+        ~600 MB at sha256-chain scale, which RESOURCE_EXHAUSTs the chip.
+        Chunk sums are exact mod-p partials of each segment, so the result
+        is bit-identical to the single-pass form.
+        """
+        nnz = gather_idx.shape[0]
+        if nnz <= MATVEC_CHUNK:
+            prods = V.mont_mul(self.vals, vec[:, gather_idx])
+            return segment_sum_mod_split(prods, ids, extra, out_len)
+        acc = None
+        for start in range(0, nnz, MATVEC_CHUNK):
+            end = min(nnz, start + MATVEC_CHUNK)
+            prods = V.mont_mul(self.vals[:, start:end],
+                               vec[:, gather_idx[start:end]])
+            part = segment_sum_mod_split(prods, ids[start:end], extra,
+                                         out_len)
+            acc = part if acc is None else V.add_mod(acc, part)
+        return acc
+
     def mul_right(self, z: jax.Array) -> jax.Array:
         if self.rows.shape[0] <= HOST_TAIL_NNZ and not isinstance(
                 z, jax.core.Tracer):
             return self._host_mul(z, "rows", self.num_rows)
-        prods = V.mont_mul(self.vals, z[:, self.cols])
         ids = self.rows if self.row_seg_ids is None else self.row_seg_ids
-        return segment_sum_mod_split(prods, ids, self.row_extra,
-                                     self.num_rows)
+        return self._chunked_mul(z, self.cols, ids, self.row_extra,
+                                 self.num_rows)
 
     def mul_left(self, e: jax.Array) -> jax.Array:
         if self.rows.shape[0] <= HOST_TAIL_NNZ and not isinstance(
                 e, jax.core.Tracer):
             return self._host_mul(e, "cols", self.num_cols)
-        prods = V.mont_mul(self.vals, e[:, self.rows])
         ids = self.cols if self.col_seg_ids is None else self.col_seg_ids
-        return segment_sum_mod_split(prods, ids, self.col_extra,
-                                     self.num_cols)
+        return self._chunked_mul(e, self.rows, ids, self.col_extra,
+                                 self.num_cols)
 
 
 class R1CS:
