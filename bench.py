@@ -41,10 +41,17 @@ def build_circuit(kind: str, n_hashes: int):
             dg1, sod, off, date, age, signature=sig)
         return program, acir_values, "passport-age-check"
     if kind == "sha256":
+        # The reference's sha256 examples hash 1-2 bytes (1-2 compression
+        # blocks, noir-examples/sha256/src/main.nr); 10 chained blocks
+        # (~314k constraints, m=21) is already ~100x that scale and the
+        # largest that fits a 16 GB chip comfortably — 100 blocks puts the
+        # witness poly at m=24 (domain 2^25, multi-GB wide temps) and
+        # RESOURCE_EXHAUSTs HBM.  Override with BENCH_SHA_BLOCKS.
+        n_blocks = int(os.environ.get("BENCH_SHA_BLOCKS",
+                                      str(n_hashes // 100 or 1)))
         from provekit_tpu.circuits import sha256
-        program, acir_values, _ = sha256.chain_circuit(n_blocks=n_hashes // 10
-                                                       or 1)
-        return program, acir_values, f"sha256-chain x{n_hashes // 10 or 1}"
+        program, acir_values, _ = sha256.chain_circuit(n_blocks=n_blocks)
+        return program, acir_values, f"sha256-chain x{n_blocks}"
     from provekit_tpu.circuits import poseidon
     program, acir_values, _ = poseidon.hash_chain_circuit(n_hashes)
     return program, acir_values, f"poseidon2-chain x{n_hashes}"
