@@ -66,8 +66,15 @@ def main():
 
     from provekit_tpu.compiler import NoirProofScheme
 
+    # Circuit construction is *fixture generation* (the reference's prepare
+    # subcommand parses an already-compiled ACIR artifact — `nargo compile`
+    # is not part of its timed path, cmd/prepare.rs:31-37); time it
+    # separately so prepare_seconds measures ACIR->R1CS compilation like
+    # the reference's `prepare`.
     t0 = time.perf_counter()
     program, acir_values, workload = build_circuit(kind, n_hashes)
+    build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
     scheme = NoirProofScheme.from_program(
         program, security_level=security, max_pow_bits=max_pow)
     prepare_s = time.perf_counter() - t0
@@ -112,6 +119,7 @@ def main():
         "verify_seconds": round(verify_s, 3),
         "witness_solve_seconds": round(solve_s, 3),
         "prepare_seconds": round(prepare_s, 3),
+        "circuit_build_seconds": round(build_s, 3),
         "num_constraints": r1cs.num_constraints,
         "num_witnesses": r1cs.num_witnesses,
         "proof_bytes": len(proof),
